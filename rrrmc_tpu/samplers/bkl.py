@@ -1,0 +1,105 @@
+"""bklMC: rejection-free Bortz-Kalos-Lebowitz, generalized to arbitrary
+(non-discrete) dE exactly as the reference does.
+
+Semantics follow /root/reference/src/RRRMC.jl:311-359: each kernel step draws
+a geometric number of virtually-rejected iterations `skip` with success
+probability z/N (rand_skip, /root/reference/src/DeltaE.jl:141-144), then an
+always-accepted move proportional to w_i = min(1, e^{-beta dE_i}); the
+iteration counter advances by skip+1, so results are directly comparable with
+standardMC at equal `iters`.
+
+Vectorization note: chains advance *different* numbers of virtual iterations
+per kernel step, so checkpoints cannot be emitted in lockstep. Instead each
+chunk of moves records a per-chain (iteration, energy) stream, and checkpoint
+energies are filled by a vectorized searchsorted over the stream — the batch
+generalization of the reference's checkpoint drain loop
+(/root/reference/src/RRRMC.jl:339-344), which pushes the pre-move energy for
+every checkpoint index <= it + skip + 1.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.model import Model
+from ..core.dtypes import ftype
+from .common import DEFAULT_SEED, MCState, init_state
+from .moves import acceptance_weights, categorical_from_weights, geometric_skip
+
+
+def make_bkl_move(model: Model, beta: float, iters: int):
+    n = model.N
+
+    def move1(sigma, aux, E, key, accepted, it):
+        active = it < iters
+        key, k_skip, k_mv = jax.random.split(key, 3)
+        dE = model.delta_all(sigma, aux)
+        w = acceptance_weights(model.to_physical(dE), beta)
+        i, z = categorical_from_weights(k_mv, w)
+        skip = geometric_skip(k_skip, z / n)
+        sigma, aux = model.flip(sigma, aux, i, active)
+        E = E + jnp.where(active, dE[i], jnp.zeros_like(dE[i]))
+        it = it + jnp.where(active, skip + 1, 0)
+        accepted = accepted + active.astype(jnp.int32)
+        return sigma, aux, E, key, accepted, it
+
+    return move1
+
+
+@partial(jax.jit, static_argnames=("iters", "step", "chunk_moves"))
+def _bkl_chunk(model, beta, iters, step, chunk_moves, state: MCState, it, Es):
+    move1 = make_bkl_move(model, beta, iters)
+    batched = jax.vmap(move1)
+
+    def body(carry, _):
+        s, it = carry
+        sigma, aux, E, key, accepted, it = batched(
+            s.sigma, s.aux, s.E, s.key, s.accepted, it)
+        s = MCState(sigma=sigma, aux=aux, E=E, key=key, accepted=accepted)
+        return (s, it), (it, jax.vmap(model.to_physical)(E))
+
+    it_start = it
+    e_start = jax.vmap(model.to_physical)(state.E)
+    (state, it), (its, evs) = jax.lax.scan(body, (state, it), None,
+                                           length=chunk_moves)
+    Es = _fill_checkpoints(Es, step, it_start, e_start, its, evs)
+    return state, it, Es
+
+
+def _fill_checkpoints(Es, step, x_start, e_start, xs, evs):
+    """Fill Es[b, k] (checkpoint coordinate ns_k = (k+1)*step) with the energy
+    in effect just before the first move whose post-move coordinate reaches
+    ns_k. xs/evs: [chunk, B] per-move streams (non-decreasing coordinates)."""
+    n_ckpt = Es.shape[1]
+    ns = (jnp.arange(1, n_ckpt + 1, dtype=xs.dtype)) * step  # [K]
+
+    def per_chain(Eb, xb, eb, e0, x0):
+        idx = jnp.searchsorted(xb, ns, side="left")  # moves strictly before ns
+        vals = jnp.concatenate([e0[None], eb])[idx]
+        newly = (ns > x0) & (ns <= xb[-1])
+        return jnp.where(newly, vals, Eb)
+
+    return jax.vmap(per_chain, in_axes=(0, 1, 1, 0, 0))(
+        Es, xs, evs, e_start, x_start)
+
+
+def bklMC(model: Model, beta: float, iters: int, *, step: int = 1,
+          chains: int = 1, seed: int = DEFAULT_SEED, C0=None,
+          chunk_moves: int = 512, state: Optional[MCState] = None):
+    """Rejection-free BKL; `iters` counts virtual (rejected-inclusive)
+    iterations. Returns (Es [chains, iters // step], final MCState)."""
+    if state is None:
+        state = init_state(model, chains, seed, C0)
+    n_ckpt = iters // step
+    Es = jnp.zeros((chains, n_ckpt), ftype())
+    it = jnp.zeros(chains, jnp.int64 if jax.config.jax_enable_x64 else jnp.int32)
+    while True:
+        state, it, Es = _bkl_chunk(model, float(beta), iters, step,
+                                   chunk_moves, state, it, Es)
+        if int(jnp.min(it)) >= iters:
+            break
+    return Es, state

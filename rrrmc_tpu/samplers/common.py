@@ -1,0 +1,90 @@
+"""Shared sampler scaffolding: batched chain state, init, and the scan driver.
+
+The reference advances ONE chain in a Julia while-loop
+(/root/reference/src/RRRMC.jl:100-119). The TPU execution model is a batch of
+`chains` independent chains advanced in lockstep: every per-move function is
+written single-chain and vmapped, the time loop is a `lax.scan` with a
+checkpoint emission every `step` moves (the vectorized analog of the `hook` /
+energy-series mechanism, /root/reference/src/RRRMC.jl:104-109).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.struct import pytree, static
+from ..core.model import Model, random_spins
+
+#: arbitrary default seed, mirroring /root/reference/src/RRRMC.jl:82
+DEFAULT_SEED = 167432777111 % (2 ** 31)
+
+
+@pytree
+class MCState:
+    sigma: jnp.ndarray   # [B, N] int8
+    aux: Any             # model aux, batched on axis 0
+    E: jnp.ndarray       # [B] internal units
+    key: jnp.ndarray     # [B] PRNG keys
+    accepted: jnp.ndarray  # [B] int32
+
+
+def init_state(model: Model, chains: int, seed: int, C0=None) -> MCState:
+    key = jax.random.key(seed)
+    kinit, krun = jax.random.split(key)
+    if C0 is None:
+        sigma = jax.vmap(lambda k: random_spins(k, model.N))(
+            jax.random.split(kinit, chains))
+    else:
+        C0 = jnp.asarray(C0, jnp.int8)
+        if C0.ndim == 1:
+            C0 = jnp.broadcast_to(C0, (chains, model.N))
+        assert C0.shape == (chains, model.N), "invalid C0 shape"
+        sigma = C0
+    aux = jax.vmap(model.init_aux)(sigma)
+    E = jax.vmap(model.energy)(sigma)
+    return MCState(sigma=sigma, aux=aux, E=E,
+                   key=jax.random.split(krun, chains),
+                   accepted=jnp.zeros(chains, jnp.int32))
+
+
+def default_observer(model: Model, sigma, aux, E):
+    """Per-checkpoint observable: physical energy."""
+    return model.to_physical(E)
+
+
+@partial(jax.jit,
+         static_argnames=("make_step", "n_checkpoints",
+                          "moves_per_checkpoint", "observer"))
+def run_sweeps(model: Model, state: MCState, beta,
+               make_step: Callable, n_checkpoints: int,
+               moves_per_checkpoint: int,
+               observer: Optional[Callable] = None):
+    """Advance all chains; emit `observer` output every `moves_per_checkpoint`
+    moves. make_step(model, beta) builds the single-chain move function
+    (sigma, aux, E, key, accepted) -> same. The model pytree and beta are
+    traced (no recompilation across disorder realizations or temperatures of
+    the same shape); make_step must be a stable module-level function so the
+    jit cache hits across calls."""
+    obs_fn = observer or default_observer
+    batched_step = jax.vmap(make_step(model, beta))
+
+    def one_move(s: MCState, _):
+        sigma, aux, E, key, accepted = batched_step(
+            s.sigma, s.aux, s.E, s.key, s.accepted)
+        return MCState(sigma=sigma, aux=aux, E=E, key=key, accepted=accepted), None
+
+    def checkpoint(s: MCState, _):
+        s, _ = jax.lax.scan(one_move, s, None, length=moves_per_checkpoint)
+        return s, jax.vmap(partial(obs_fn, model))(s.sigma, s.aux, s.E)
+
+    state, series = jax.lax.scan(checkpoint, state, None, length=n_checkpoints)
+    return state, series
+
+
+def series_to_chain_major(series):
+    """[n_checkpoints, B, ...] -> [B, n_checkpoints, ...]."""
+    return jax.tree.map(lambda x: jnp.moveaxis(x, 0, 1), series)

@@ -1,0 +1,19 @@
+"""Test configuration: force an 8-virtual-device CPU mesh with float64.
+
+Tests validate exact semantics (energy invariants, stationarity) on CPU with
+x64 enabled, mirroring the reference's Float64 tolerances
+(/root/reference/test/runtests.jl:13). TPU runs use float32; the model code
+is dtype-agnostic via core/dtypes.py.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
