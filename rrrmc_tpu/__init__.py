@@ -20,7 +20,33 @@ from .models.graphs import (
     GraphIsing1D, GraphFields, GraphFieldsNormalDiscretized,
     GraphEmpty, GraphTwoSpin, GraphThreeSpin,
 )
+from .models.dense import FullyConnected, GraphSK, GraphSKNormal, make_fully_connected
+from .models.replicas import (
+    GraphQT, GraphQuant, QuantModel, four_K, transverse_mag,
+    GraphRE, GraphRobustEnsemble, REModel,
+    GraphLE, GraphLocalEntropy, LEModel,
+    GraphTLE, GraphTopologicalLocalEntropy, TLEModel,
+    GraphAF, GraphAddFields, GraphAddSubFields, Replicated, Scaled,
+)
+from .models.aliases import (
+    GraphQ0T, GraphQSKT, GraphQSKNormalT, GraphQEAT,
+    Graph0RE, GraphSKRE, GraphEARE,
+    Graph0LE, GraphSKLE, GraphEALE,
+    Graph0TLE, GraphSKTLE, GraphEATLE,
+)
+from .models.sat import (GraphSAT, SATModel, make_sat, export_cnf,
+                         GraphSATRE, GraphSATLE, GraphSATTLE)
+from .models.perceptron import (
+    Perceptron, GraphPercStep, GraphPercLinear, GraphPercXEntr,
+    GraphQPercStepT, GraphQPercLinearT,
+    GraphPercStepRE, GraphPercLinearRE, GraphPercStepLE, GraphPercLinearLE,
+)
 from .samplers.metropolis import standardMC
+from .samplers.rrr import rrrMC
+from .samplers.bkl import bklMC
+from .samplers.wtm import wtmMC
+from .samplers.eo import extremal_opt, EOResult
 from .samplers.common import MCState, init_state, DEFAULT_SEED
+from . import observables
 
 __version__ = "0.1.0"

@@ -1,0 +1,586 @@
+"""Replica-ensemble wrappers: quantum Suzuki-Trotter (GraphQuant), robust
+ensemble (GraphRobustEnsemble), local entropy (GraphLocalEntropy), topological
+local entropy (GraphTopologicalLocalEntropy), and the AddFields family.
+
+The reference implements these as DoubleGraphs holding M mirrored `Config`
+copies kept in sync by update_cache! (/root/reference/src/graphs/QT.jl:126-199,
+RE.jl:216-327, LE.jl:183-318, TLE.jl:351-502). TPU-native, the replica axis is
+a *reshape* of the composite spin vector plus a `jax.vmap` of the base model
+over it — no mirrored state, no sync logic; the base model's aux is simply
+batched with a leading replica axis.
+
+Index layouts (all mirrored exactly from the reference so that configurations
+and observables are inter-convertible):
+
+* Quant   (replica-major): spin (i, k) -> i + k*Nk   (QT.jl:172-182)
+* RE      (site-major):    spin (i, k) -> k + i*M    (RE.jl:255-263)
+* LE/TLE  (site-major, slot 0 = reference config):
+                           spin (i, s) -> s + i*(M+1) (LE.jl:227-240)
+
+Replica disorder: the reference's practical entry points (QAliases/REAliases/
+LEAliases) pass an explicitly-generated disorder instance to every replica, so
+all replicas share one base model; we take the already-built base `Model`
+directly.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.struct import pytree, static
+from ..core.model import Model, flip_spin
+from ..core.dtypes import ftype
+from .pairwise import Pairwise, make_pairwise
+from .composite import Double, Mixed
+
+MAXDIGITS = 8  # QT.jl:40: fourK rounded to 8 decimal digits
+
+
+# ---------------------------------------------------------------------------
+# Replicated: M copies of a base model as one Model over the composite layout
+# ---------------------------------------------------------------------------
+
+@pytree
+class Replicated(Model):
+    """M replicas of `base` (shared disorder), energy = weight * sum_k E_k.
+
+    Acts on the composite spin vector of N = Nk * n_slots spins; slots
+    [offset, n_slots) are replicas of the base model, slots < offset (the LE
+    reference configuration) contribute nothing here. All returned energies
+    are PHYSICAL floats (exact-integer arithmetic stays inside `base`)."""
+
+    base: Model
+    N: int = static(0)
+    Nk: int = static(0)
+    n_slots: int = static(0)        # spins per site block (site-major) or M (replica-major)
+    offset: int = static(0)         # first replica slot (1 for LE)
+    replica_major: bool = static(False)
+    weight: float = static(1.0)
+    scale: float = static(1.0)
+
+    @property
+    def M(self) -> int:
+        return self.n_slots - self.offset
+
+    # -- layout --
+    def to_replicas(self, sigma):
+        """[N] composite -> [M, Nk] per-replica spin rows."""
+        if self.replica_major:
+            return sigma.reshape(self.M, self.Nk)
+        return sigma.reshape(self.Nk, self.n_slots).T[self.offset:]
+
+    def from_replicas(self, rows, fill):
+        """[M, Nk] per-replica values -> [N] composite (centers get `fill`)."""
+        if self.replica_major:
+            return rows.reshape(self.N)
+        cols = jnp.concatenate(
+            [jnp.full((self.offset, self.Nk), fill, rows.dtype), rows], axis=0)
+        return cols.T.reshape(self.N)
+
+    def decompose(self, i):
+        """Composite index -> (replica k, site ii, is_replica)."""
+        if self.replica_major:
+            return i // self.Nk, i % self.Nk, jnp.asarray(True)
+        slot = i % self.n_slots
+        k = jnp.maximum(slot - self.offset, 0)
+        return k, i // self.n_slots, slot >= self.offset
+
+    # -- Model interface (all energies physical) --
+    def energy(self, sigma):
+        rows = self.to_replicas(sigma)
+        Es = jax.vmap(lambda s: self.base.to_physical(self.base.energy(s)))(rows)
+        return self.weight * jnp.sum(Es)
+
+    def init_aux(self, sigma):
+        return jax.vmap(self.base.init_aux)(self.to_replicas(sigma))
+
+    def delta_all(self, sigma, aux):
+        rows = self.to_replicas(sigma)
+        d = jax.vmap(lambda s, a: self.base.to_physical(
+            self.base.delta_all(s, a)))(rows, aux)
+        return self.weight * self.from_replicas(d, 0.0)
+
+    def delta_one(self, sigma, aux, i):
+        k, ii, is_rep = self.decompose(i)
+        aux_k = jax.tree.map(lambda a: a[k], aux)
+        sig_k = self.to_replicas(sigma)[k]
+        d = self.base.to_physical(self.base.delta_one(sig_k, aux_k, ii))
+        return jnp.where(is_rep, self.weight * d, jnp.zeros_like(d))
+
+    def flip(self, sigma, aux, i, do):
+        k, ii, is_rep = self.decompose(i)
+        do_vec = (jnp.arange(self.M) == k) & do & is_rep
+        ii_vec = jnp.full((self.M,), ii)
+        _, aux = jax.vmap(self.base.flip)(
+            self.to_replicas(sigma), aux, ii_vec, do_vec)
+        return flip_spin(sigma, i, do), aux
+
+    def replica_energies(self, sigma):
+        """[M] physical energies of the individual replicas (Renergies /
+        REenergies / LEenergies analog)."""
+        rows = self.to_replicas(sigma)
+        return jax.vmap(lambda s: self.base.to_physical(self.base.energy(s)))(rows)
+
+
+# ---------------------------------------------------------------------------
+# GraphQT: Suzuki-Trotter ring coupling (QT.jl:42-121)
+# ---------------------------------------------------------------------------
+
+def four_K(beta: float, Gamma: float, M: int) -> float:
+    """fourK = 2/beta * log(coth(beta*Gamma/M)), rounded to 8 digits
+    (QT.jl:165)."""
+    x = beta * Gamma / M
+    return round(2.0 / beta * math.log(1.0 / math.tanh(x)), MAXDIGITS)
+
+
+def GraphQT(Nk: int, M: int, fourK: float) -> Pairwise:
+    """Ferromagnetic ring over the M Trotter slices of each of Nk sites:
+    E = -(fourK/4) sum_{i,k} sigma_{i,k} sigma_{i,k+1} (QT.jl:68-84).
+    Stored as an exact integer Pairwise with scale fourK/4; replica-major
+    layout, each spin j couples to j +- Nk (mod N) (QT.jl:105-108)."""
+    if M <= 2:
+        raise ValueError(f"M must be greater than 2, given: {M}")
+    N = Nk * M
+    adj = [[(j - Nk) % N, (j + Nk) % N] for j in range(N)]
+    J = [[1.0, 1.0]] * N
+    return make_pairwise(adj, J, N, integer_scale=1.0,
+                         classes=(0.0, abs(fourK))).replace(
+        scale=fourK / 4.0)
+
+
+def transverse_mag(qt: Pairwise, sigma, beta: float) -> jnp.ndarray:
+    """cosh(x) - p*sinh(x), x = beta*fourK/2, p = -energy0/N (QT.jl:113-121).
+    energy0 is the QT internal integer energy (scale-free ring sum)."""
+    e0 = qt.energy(sigma)  # internal units = energy0 (J=1 integer ring)
+    p = -e0.astype(ftype()) / qt.N
+    x = beta * (4.0 * qt.scale) / 2.0
+    return jnp.cosh(x) - p * jnp.sinh(x)
+
+
+@pytree
+class QuantModel(Double):
+    """GraphQuant: quantum transverse-field model via Suzuki-Trotter
+    (QT.jl:126-199). inner = GraphQT ring, resid = M replicas of the base
+    classical model with weight 1/M."""
+
+    M: int = static(0)
+    Nk: int = static(0)
+    beta: float = static(0.0)
+    Gamma: float = static(0.0)
+
+    def Qenergy(self, sigma):
+        """Average Hamiltonian per spin: -Gamma*transverse_mag + sum_k E_k/N
+        (QT.jl:253-268)."""
+        tm = transverse_mag(self.inner_m, sigma, self.beta)
+        Es = self.resid_m.replica_energies(sigma)
+        return -self.Gamma * tm + jnp.sum(Es) / self.N
+
+    def transverse_mag(self, sigma):
+        return transverse_mag(self.inner_m, sigma, self.beta)
+
+    def Renergies(self, sigma):
+        """[M] individual replica energies (QT.jl:201-211)."""
+        return self.resid_m.replica_energies(sigma)
+
+    def overlaps(self, sigma):
+        """[M//2] average replica overlap by Trotter distance delta
+        (QT.jl:213-251)."""
+        M, Nk = self.M, self.Nk
+        rows = self.resid_m.to_replicas(sigma).astype(jnp.int32)
+        q = rows @ rows.T  # [M, M] spin dot products
+        k = np.arange(M)
+        d = np.abs(k[:, None] - k[None, :])
+        d = np.minimum(d, M - d)
+        out = []
+        for delta in range(1, M // 2 + 1):
+            mask = jnp.asarray((d == delta) & (k[:, None] < k[None, :]),
+                               jnp.int32)
+            tot = jnp.sum(q * mask)
+            denom = (M * Nk) if (M % 2 == 1 or delta < M // 2) else (M * Nk // 2)
+            out.append(tot / denom)
+        return jnp.stack(out)
+
+
+def GraphQuant(Nk: int, M: int, Gamma: float, beta: float,
+               base: Model) -> QuantModel:
+    """Suzuki-Trotter replication of the classical model `base` (on Nk spins)
+    in transverse field Gamma at inverse temperature beta (QT.jl:149-170).
+    The base model is shared by all M Trotter slices, as the reference's
+    aliases do (QAliases.jl:43: every replica gets the same generated J)."""
+    assert Gamma >= 0
+    assert base.N == Nk, f"base model has N={base.N}, expected {Nk}"
+    fourK = four_K(beta, Gamma, M)
+    N = Nk * M
+    inner = GraphQT(Nk, M, fourK)
+    resid = Replicated(base=base, N=N, Nk=Nk, n_slots=M, offset=0,
+                       replica_major=True, weight=1.0 / M)
+    return QuantModel(inner_m=inner, resid_m=resid, N=N,
+                      M=M, Nk=Nk, beta=beta, Gamma=Gamma)
+
+
+# ---------------------------------------------------------------------------
+# GraphRE: robust-ensemble star interaction (RE.jl:28-212)
+# ---------------------------------------------------------------------------
+
+def _log2cosh(x):
+    """log(2*cosh(x)), overflow-safe."""
+    ax = jnp.abs(x)
+    return ax + jnp.log1p(jnp.exp(-2.0 * ax))
+
+
+def _fk_table(M: int, gamma: float, beta: float) -> np.ndarray:
+    """fk(mubar) = [log cosh(g*(mubar+1)) - log cosh(g*(mubar-1))]/beta for
+    mubar in {-M+1, -M+3, ..., M-1}; entry d holds mubar = 2d - M + 1
+    (the Delta-E list of RE.jl:60-67)."""
+    def logcoshratio(a, b):
+        a, b = abs(a), abs(b)
+        return (a - b) + (math.log1p(math.exp(-2 * a))
+                          - math.log1p(math.exp(-2 * b)))
+    mubar = np.arange(M) * 2 - M + 1
+    return np.array([logcoshratio(gamma * (m + 1), gamma * (m - 1)) / beta
+                     for m in mubar])
+
+
+@pytree
+class GraphRE(Model):
+    """Interaction part of the robust ensemble: E = -sum_i log(2cosh(gamma*
+    mu_i))/beta with mu_i the replica magnetization of site i (RE.jl:70-104).
+    Site-major layout j = k + i*M; aux = mu [Nk] int32. delta of flipping
+    (i,k) is sigma_{ik} * fk(mu_i - sigma_{ik}), via the precomputed fk table."""
+
+    fk: jnp.ndarray          # [M] fk values indexed by (mubar + M - 1) // 2
+    N: int = static(0)
+    Nk: int = static(0)
+    Mr: int = static(0)
+    gamma: float = static(0.0)
+    beta_p: float = static(0.0)
+    scale: float = static(1.0)
+
+    def _rows(self, sigma):
+        return sigma.reshape(self.Nk, self.Mr)  # [i, k]
+
+    def energy(self, sigma):
+        mu = self._rows(sigma).astype(jnp.int32).sum(axis=1)
+        return -jnp.sum(_log2cosh(self.gamma * mu.astype(ftype()))) / self.beta_p
+
+    def init_aux(self, sigma):
+        return self._rows(sigma).astype(jnp.int32).sum(axis=1)
+
+    def delta_all(self, sigma, aux):
+        rows = self._rows(sigma).astype(jnp.int32)
+        mubar = aux[:, None] - rows              # [Nk, M]
+        k = self.fk[(mubar + self.Mr - 1) >> 1]
+        return (rows.astype(self.fk.dtype) * k).reshape(self.N)
+
+    def delta_one(self, sigma, aux, i):
+        site = i // self.Mr
+        s = sigma[i].astype(jnp.int32)
+        mubar = aux[site] - s
+        return s.astype(self.fk.dtype) * self.fk[(mubar + self.Mr - 1) >> 1]
+
+    def flip(self, sigma, aux, i, do):
+        site = i // self.Mr
+        tgt = jnp.where(do, site, self.Nk)
+        aux = aux.at[tgt].add(-2 * sigma[i].astype(jnp.int32), mode="drop")
+        return flip_spin(sigma, i, do), aux
+
+    def delta_classes(self):
+        vals = sorted({round(abs(float(v)), 12) for v in np.asarray(self.fk)})
+        return tuple(vals)
+
+
+@pytree
+class REModel(Double):
+    """GraphRobustEnsemble (RE.jl:216-327): inner = GraphRE star, resid = M
+    replicas of the base model (weight 1, site-major layout)."""
+
+    M: int = static(0)
+    Nk: int = static(0)
+
+    def REenergies(self, sigma):
+        """[M] individual replica energies (RE.jl:283-299)."""
+        return self.resid_m.replica_energies(sigma)
+
+
+def GraphRobustEnsemble(Nk: int, M: int, gamma: float, beta: float,
+                        base: Model) -> REModel:
+    """Robust-ensemble replication of `base` (RE.jl:249-253). All M replicas
+    share the base disorder (REAliases.jl:16-18 convention)."""
+    if M <= 2:
+        raise ValueError(f"M must be greater than 2, given: {M}")
+    assert base.N == Nk, f"base model has N={base.N}, expected {Nk}"
+    N = Nk * M
+    inner = GraphRE(fk=jnp.asarray(_fk_table(M, gamma, beta), ftype()),
+                    N=N, Nk=Nk, Mr=M, gamma=gamma, beta_p=beta)
+    resid = Replicated(base=base, N=N, Nk=Nk, n_slots=M, offset=0,
+                       replica_major=False, weight=1.0)
+    return REModel(inner_m=inner, resid_m=resid, N=N, M=M, Nk=Nk)
+
+
+# ---------------------------------------------------------------------------
+# GraphLE: local-entropy star with explicit reference (LE.jl:17-179)
+# ---------------------------------------------------------------------------
+
+def _le_classes(M: int, gammaT: float) -> Tuple[float, ...]:
+    """allDeltaE of GraphLE (LE.jl:176-179)."""
+    g = abs(gammaT)
+    if M % 2 == 0:
+        vals = {4.0 * d * g for d in range(M // 2 + 1)} | {2.0 * g}
+    else:
+        vals = {2.0 * (2 * d - 1) * g for d in range(1, (M + 1) // 2 + 1)}
+    return tuple(sorted(vals))
+
+
+def GraphLE(Nk: int, M: int, gammaT: float) -> Pairwise:
+    """E = -gammaT * sum_i sigma^c_i sum_k sigma_{i,k} (LE.jl:55-84):
+    a star of M edges from each reference spin (slot 0 of each (M+1)-block)
+    to its replicas. Exact integer Pairwise with scale gammaT."""
+    if M <= 2:
+        raise ValueError(f"M must be greater than 2, given: {M}")
+    S = M + 1
+    N = Nk * S
+    adj, J = [], []
+    for i in range(Nk):
+        jc = i * S
+        adj.append([jc + k for k in range(1, S)])  # center -> replicas
+        J.append([1.0] * M)
+        for k in range(1, S):
+            adj.append([jc])                        # replica -> center
+            J.append([1.0])
+    return make_pairwise(adj, J, N, integer_scale=1.0,
+                         classes=_le_classes(M, gammaT)).replace(scale=gammaT)
+
+
+@pytree
+class LEModel(Double):
+    """GraphLocalEntropy (LE.jl:183-318): inner = GraphLE star, resid = M
+    replicas of the base model; the reference configuration's own base-model
+    energy is NOT part of the Hamiltonian (tracked via cenergy, LE.jl:271)."""
+
+    M: int = static(0)
+    Nk: int = static(0)
+
+    def LEenergies(self, sigma):
+        """[M] individual replica energies (LE.jl:266-269)."""
+        return self.resid_m.replica_energies(sigma)
+
+    def center_config(self, sigma):
+        """The reference configuration [Nk] (slot 0 of each block)."""
+        return sigma.reshape(self.Nk, self.M + 1)[:, 0]
+
+    def cenergy(self, sigma):
+        """Base-model energy of the reference configuration (LE.jl:271-274)."""
+        base = self.resid_m.base
+        return base.to_physical(base.energy(self.center_config(sigma)))
+
+    def distances(self, sigma):
+        """[M, M] Hamming distances between replicas (LE.jl:309-318)."""
+        rows = self.resid_m.to_replicas(sigma).astype(jnp.int32)
+        q = rows @ rows.T
+        return (self.Nk - q) // 2
+
+
+def GraphLocalEntropy(Nk: int, M: int, gamma: float, beta: float,
+                      base: Model) -> LEModel:
+    """Local-entropy replication of `base` with explicit reference spin per
+    site; interaction strength gammaT = gamma/beta (LE.jl:221-225)."""
+    assert base.N == Nk, f"base model has N={base.N}, expected {Nk}"
+    S = M + 1
+    N = Nk * S
+    inner = GraphLE(Nk, M, gamma / beta)
+    resid = Replicated(base=base, N=N, Nk=Nk, n_slots=S, offset=1,
+                       replica_major=False, weight=1.0)
+    return LEModel(inner_m=inner, resid_m=resid, N=N, M=M, Nk=Nk)
+
+
+# ---------------------------------------------------------------------------
+# GraphTLE: topological local entropy (TLE.jl:17-347)
+# ---------------------------------------------------------------------------
+
+@pytree
+class GraphTLE(Model):
+    """LE star + topological 4-spin term over the base graph's edges:
+
+        E = -gammaT * sum_i sigma^c_i sum_k sigma_{i,k}
+            -lambdaT * sum_{<i1,i2>} sigma^c_{i1} sigma^c_{i2}
+                         sum_k sigma_{i1,k} sigma_{i2,k}
+
+    (TLE.jl:83-142). Layout as GraphLE. The site adjacency `neighb` is the
+    base graph's edge structure, padded [Nk, Kmax] with sentinel Nk. Deltas
+    are recomputed from sigma (aux-free): one [Nk, Kmax] gather + [Nk, M]
+    reduction per call — a fused vector pass instead of the reference's dual
+    incremental LocalFields caches (TLE.jl:156-299)."""
+
+    neighb: jnp.ndarray      # [Nk, Kmax] int32, padded with Nk
+    N: int = static(0)
+    Nk: int = static(0)
+    Mr: int = static(0)
+    gammaT: float = static(0.0)
+    lambdaT: float = static(0.0)
+    max_deg: int = static(0)
+    scale: float = static(1.0)
+
+    def _split(self, sigma):
+        """-> (center [Nk+1] int32 zero-padded, reps [Nk+1, M] zero-padded)."""
+        rows = sigma.reshape(self.Nk, self.Mr + 1).astype(jnp.int32)
+        z1 = jnp.zeros((1, self.Mr + 1), jnp.int32)
+        rows = jnp.concatenate([rows, z1])
+        return rows[:, 0], rows[:, 1:]
+
+    def energy(self, sigma):
+        c, r = self._split(sigma)
+        n = -jnp.sum(c[:-1] * r[:-1].sum(axis=1))
+        # topological: each edge once via i1 < i2 masking of the padded table
+        i1 = jnp.arange(self.Nk)[:, None]
+        mask = (self.neighb > i1) & (self.neighb < self.Nk)
+        dots = jnp.einsum("ik,ijk->ij", r[:-1], r[self.neighb])  # [Nk, Kmax]
+        t = -jnp.sum(jnp.where(mask, (c[:-1, None] * c[self.neighb]) * dots, 0))
+        return n * self.gammaT + t * self.lambdaT
+
+    def init_aux(self, sigma):
+        return ()
+
+    def delta_all(self, sigma, aux):
+        c, r = self._split(sigma)
+        cn = c[self.neighb]                          # [Nk, Kmax] neighbor centers
+        rn = r[self.neighb]                          # [Nk, Kmax, M]
+        dots = jnp.einsum("ik,ijk->ij", r[:-1], rn)  # sum_k s_ik s_jk per edge
+        # replica spin (i,k):  d1 = 2 gT c_i s_ik ;
+        #                      d2 = 2 lT s_ik c_i sum_{j in ∂i} c_j s_jk
+        f_rep = jnp.einsum("ij,ijk->ik", cn.astype(ftype()), rn.astype(ftype()))
+        d_rep = (2.0 * self.gammaT) * (c[:-1, None] * r[:-1]).astype(ftype()) \
+            + (2.0 * self.lambdaT) * (c[:-1, None] * r[:-1]).astype(ftype()) * f_rep
+        # center spin i: d1 = 2 gT c_i mu_i ; d2 = 2 lT c_i sum_j c_j dot_ij
+        mu = r[:-1].sum(axis=1)
+        d_ctr = (2.0 * self.gammaT) * (c[:-1] * mu).astype(ftype()) \
+            + (2.0 * self.lambdaT) * c[:-1].astype(ftype()) \
+            * (cn * dots).sum(axis=1).astype(ftype())
+        out = jnp.concatenate([d_ctr[:, None], d_rep], axis=1)
+        return out.reshape(self.N)
+
+    def flip(self, sigma, aux, i, do):
+        return flip_spin(sigma, i, do), aux
+
+    def delta_classes(self):
+        """Instance-level allDeltaE (TLE.jl:335-347)."""
+        d1 = (_le_classes(self.Mr, self.gammaT) if self.gammaT >= 0
+              else _le_classes(self.Mr, -self.gammaT))
+        mn = self.Mr * self.max_deg
+        d2 = [2.0 * d * self.lambdaT for d in range(-mn, mn + 1)]
+        vals = sorted({round(abs(a + b), 9) for a in d1 for b in d2})
+        return tuple(vals)
+
+
+@pytree
+class TLEModel(Double):
+    """GraphTopologicalLocalEntropy (TLE.jl:351-502)."""
+
+    M: int = static(0)
+    Nk: int = static(0)
+
+    def TLEenergies(self, sigma):
+        return self.resid_m.replica_energies(sigma)
+
+    def center_config(self, sigma):
+        return sigma.reshape(self.Nk, self.M + 1)[:, 0]
+
+    def cenergy(self, sigma):
+        base = self.resid_m.base
+        return base.to_physical(base.energy(self.center_config(sigma)))
+
+    def distances(self, sigma):
+        rows = self.resid_m.to_replicas(sigma).astype(jnp.int32)
+        q = rows @ rows.T
+        return (self.Nk - q) // 2
+
+
+def GraphTopologicalLocalEntropy(Nk: int, M: int, gamma: float,
+                                 lambda_: float, beta: float, base: Model,
+                                 neighb=None) -> TLEModel:
+    """TLE replication of `base`; the topological neighborhood defaults to the
+    base graph's adjacency (TLE.jl:390-396). gammaT = gamma/beta, lambdaT =
+    lambda/beta (TLE.jl:499-502)."""
+    assert base.N == Nk, f"base model has N={base.N}, expected {Nk}"
+    if neighb is None:
+        assert isinstance(base, Pairwise), \
+            "neighb required unless base is a Pairwise model"
+        nb = np.asarray(base.neigh)
+        neighb = [[int(j) for j in row if j < Nk] for row in nb]
+    kmax = max((len(r) for r in neighb), default=0)
+    kmax = max(kmax, 1)
+    tbl = np.full((Nk, kmax), Nk, dtype=np.int32)
+    for i, row in enumerate(neighb):
+        assert i not in row, f"neighb[{i}] contains itself"
+        tbl[i, :len(row)] = row
+    S = M + 1
+    N = Nk * S
+    inner = GraphTLE(neighb=jnp.asarray(tbl), N=N, Nk=Nk, Mr=M,
+                     gammaT=gamma / beta, lambdaT=lambda_ / beta,
+                     max_deg=kmax)
+    resid = Replicated(base=base, N=N, Nk=Nk, n_slots=S, offset=1,
+                       replica_major=False, weight=1.0)
+    return TLEModel(inner_m=inner, resid_m=resid, N=N, M=M, Nk=Nk)
+
+
+# ---------------------------------------------------------------------------
+# AddFields family (AddFields.jl:16-123)
+# ---------------------------------------------------------------------------
+
+def GraphAF(fields) -> Pairwise:
+    """Pure external-field model E = +sum_i h_i sigma_i (AddFields.jl:33-43;
+    note the reference's sign: fields ADD with +sigma)."""
+    h = -np.asarray(fields, dtype=np.float64)  # Pairwise uses E = -sum h*sigma
+    n = len(h)
+    adj = [[] for _ in range(n)]
+    return make_pairwise(adj, adj, n, h=h)
+
+
+def GraphAddFields(fields, base: Model) -> Double:
+    """Double model: inner = the fields (sampled exactly by rrrMC), resid =
+    the wrapped graph (AddFields.jl:59-91)."""
+    af = GraphAF(fields)
+    assert af.N == base.N, \
+        f"incompatible length, fields size={af.N} graph size={base.N}"
+    return Double(inner_m=af, resid_m=base, N=base.N)
+
+
+@pytree
+class Scaled(Model):
+    """model with physical energy multiplied by `factor` (used by
+    GraphAddSubFields' add-and-subtract identity)."""
+
+    base: Model
+    N: int = static(0)
+    factor: float = static(1.0)
+    scale: float = static(1.0)
+
+    def energy(self, sigma):
+        return self.factor * self.base.to_physical(self.base.energy(sigma))
+
+    def init_aux(self, sigma):
+        return self.base.init_aux(sigma)
+
+    def delta_all(self, sigma, aux):
+        return self.factor * self.base.to_physical(self.base.delta_all(sigma, aux))
+
+    def delta_one(self, sigma, aux, i):
+        return self.factor * self.base.to_physical(self.base.delta_one(sigma, aux, i))
+
+    def flip(self, sigma, aux, i, do):
+        return self.base.flip(sigma, aux, i, do)
+
+
+def GraphAddSubFields(fields, base: Model) -> Double:
+    """Add-and-subtract identity: total energy = base only, but rrrMC's inner
+    part is the fields, corrected by resid = base - fields
+    (AddFields.jl:96-123)."""
+    af = GraphAF(fields)
+    assert af.N == base.N, \
+        f"incompatible length, fields size={af.N} graph size={base.N}"
+    resid = Mixed(parts=(base, Scaled(base=af, N=af.N, factor=-1.0)), N=base.N)
+    return Double(inner_m=af, resid_m=resid, N=base.N)

@@ -1,0 +1,110 @@
+"""wtmMC: rejection-free waiting-time method (Dall & Sibani).
+
+Semantics follow /root/reference/src/RRRMC.jl:376-422 and
+/root/reference/src/WaitingTimes.jl: every spin carries an exponential firing
+time with mean tau_i = max(1, e^{beta dE_i}); the earliest clock fires, that
+spin flips, and affected clocks are redrawn at the new global time. Global
+time replaces the iteration counter; `step` is a Float64 measured in global
+time scaled by 1/N (/root/reference/src/RRRMC.jl:392).
+
+TPU-native formulation: the times live in a dense [N] vector; `pick_next` is
+an argmin (VPU-friendly) instead of a mutable binary heap
+(/root/reference/src/WaitingTimes.jl:13-37), and after each flip ALL clocks
+are redrawn at the current time. By memorylessness of the exponential clocks
+this is distributionally identical to the reference's redraw-only-neighbors
+update (unfired exponential clocks may be resampled at any instant), and it
+turns a heap walk into one fused vector op over the batch.
+
+Checkpoints use the same stream-fill mechanism as bklMC, with float global
+time as the coordinate (drain loop analog, /root/reference/src/RRRMC.jl:402).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.model import Model
+from ..core.dtypes import ftype
+from .common import DEFAULT_SEED, MCState, init_state
+from .bkl import _fill_checkpoints
+
+
+def draw_times(key, model: Model, sigma, aux, beta, t_now):
+    """Fresh absolute firing times: t_now + Exp(mean tau_i),
+    tau_i = max(1, e^{beta dE_i}) (THeap init,
+    /root/reference/src/WaitingTimes.jl:15-35)."""
+    dE = model.to_physical(model.delta_all(sigma, aux))
+    # wt = -tau * log1p(-u); tau = 1/min(1, e^{-beta dE}) = max(1, e^{beta dE})
+    log_tau = jnp.maximum(beta * dE, 0.0)
+    u = jax.random.uniform(key, dE.shape, dE.dtype)
+    wt = -jnp.exp(log_tau) * jnp.log1p(-u)
+    return t_now + wt
+
+
+def make_wtm_move(model: Model, beta, tmax):
+    def move1(sigma, aux, E, key, accepted, t, times):
+        active = t < tmax
+        key, k_redraw = jax.random.split(key)
+        i = jnp.argmin(times)
+        t_new = jnp.where(active, times[i], t)
+        dE = model.delta_one(sigma, aux, i)
+        sigma, aux = model.flip(sigma, aux, i, active)
+        E = E + jnp.where(active, dE, jnp.zeros_like(dE))
+        fresh = draw_times(k_redraw, model, sigma, aux, beta, t_new)
+        times = jnp.where(active, fresh, times)
+        accepted = accepted + active.astype(jnp.int32)
+        return sigma, aux, E, key, accepted, t_new, times
+
+    return move1
+
+
+@partial(jax.jit, static_argnames=("chunk_moves",))
+def _wtm_chunk(model, beta, tmax, step_t, chunk_moves, state: MCState,
+               t, times, Es):
+    move1 = make_wtm_move(model, beta, tmax)
+    batched = jax.vmap(move1)
+
+    def body(carry, _):
+        s, t, times = carry
+        sigma, aux, E, key, accepted, t, times = batched(
+            s.sigma, s.aux, s.E, s.key, s.accepted, t, times)
+        s = MCState(sigma=sigma, aux=aux, E=E, key=key, accepted=accepted)
+        return (s, t, times), (t, jax.vmap(model.to_physical)(E))
+
+    t_start = t
+    e_start = jax.vmap(model.to_physical)(state.E)
+    (state, t, times), (ts, evs) = jax.lax.scan(
+        body, (state, t, times), None, length=chunk_moves)
+    Es = _fill_checkpoints(Es, step_t, t_start, e_start, ts, evs)
+    return state, t, times, Es
+
+
+def wtmMC(model: Model, beta: float, samples: int, *, step: float = 1.0,
+          chains: int = 1, seed: int = DEFAULT_SEED, C0=None,
+          chunk_moves: int = 512, state: Optional[MCState] = None):
+    """Waiting-time method; collects up to `samples` checkpoints spaced
+    `step` (scaled by 1/N) in global time. Returns (Es [chains, samples],
+    final MCState)."""
+    if state is None:
+        state = init_state(model, chains, seed, C0)
+    ft = ftype()
+    step_t = float(step) / model.N
+    tmax = step_t * samples
+    key_times = jax.vmap(
+        lambda k: jax.random.fold_in(k, 0x77777))(state.key)
+    times = jax.jit(jax.vmap(
+        lambda k, s, a: draw_times(k, model, s, a, float(beta),
+                                   jnp.zeros((), ft))))(
+        key_times, state.sigma, state.aux)
+    t = jnp.zeros(chains, ft)
+    Es = jnp.zeros((chains, samples), ft)
+    while True:
+        state, t, times, Es = _wtm_chunk(model, float(beta), tmax, step_t,
+                                         chunk_moves, state, t, times, Es)
+        if float(jnp.min(t)) >= tmax:
+            break
+    return Es, state

@@ -17,3 +17,9 @@ if "host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the suite is compile-dominated (hundreds of
+# jitted sampler loops on CPU); cached executables make re-runs fast.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("RRRMC_TPU_JIT_CACHE", "/tmp/rrrmc_jit_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

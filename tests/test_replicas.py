@@ -1,0 +1,169 @@
+"""Replica-wrapper validation (Quant / RE / LE / TLE / AddFields / SK):
+
+1. exact-vs-brute-force delta_energy on every wrapper (the check_delta
+   analog, /root/reference/src/graphs/PercLinear.jl:182-190);
+2. aux (local-field cache) consistency after random flip sequences — the
+   vectorized equivalent of the reference's commented-in check_consistency;
+3. sampler energy invariant (checkenergy_hook,
+   /root/reference/test/runtests.jl:12-15) through every sampler on wrapper
+   models, including the DoubleGraph rrrMC path;
+4. exact Boltzmann stationarity of rrrMC on a small quantum model;
+5. wrapper observables (Qenergy, overlaps, distances, cenergy) sanity.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import rrrmc_tpu as rt
+from rrrmc_tpu.core.model import random_spins
+
+
+def wrapper_zoo():
+    ea = rt.GraphEA(2, 2, (-1, 1), seed=8)
+    return {
+        "SK": rt.GraphSK(8, seed=1),
+        "SKNormal": rt.GraphSKNormal(8, seed=2),
+        "QSKT": rt.GraphQSKT(6, 4, 0.5, 2.0, seed=3),
+        "Q0T": rt.GraphQ0T(5, 3, 0.7, 1.5),
+        "QEAT": rt.GraphQEAT(2, 2, 4, 0.3, 2.0, seed=9),
+        "SKRE": rt.GraphSKRE(5, 4, 0.4, 2.0, seed=4),
+        "0RE": rt.Graph0RE(4, 3, 0.3, 1.0),
+        "EARE": rt.GraphEARE(2, 2, 4, 0.5, 2.0, seed=10),
+        "SKLE": rt.GraphSKLE(4, 3, 0.4, 2.0, seed=5),
+        "0LE": rt.Graph0LE(4, 3, 0.2, 1.0),
+        "EALE": rt.GraphEALE(2, 2, 3, 0.5, 2.0, seed=11),
+        "SKTLE": rt.GraphSKTLE(4, 3, 0.4, 0.2, 2.0, seed=6),
+        "EATLE": rt.GraphEATLE(2, 2, 3, 0.4, 0.2, 2.0, seed=7),
+        "AddFields": rt.GraphAddFields(np.linspace(-1, 1, 4), ea),
+        "AddSubFields": rt.GraphAddSubFields(np.linspace(-1, 1, 4), ea),
+        "Mixed": rt.mixed(rt.GraphEA(2, 2, (-1, 1), seed=12),
+                          rt.GraphFields(4, (0.5, 1.5), seed=13)),
+    }
+
+
+ZOO = wrapper_zoo()
+
+
+@pytest.mark.parametrize("name", list(ZOO.keys()))
+def test_delta_and_aux_consistency(name):
+    model = ZOO[name]
+    sigma0 = random_spins(jax.random.key(0), model.N)
+
+    @jax.jit
+    def run(sigma):
+        aux = model.init_aux(sigma)
+        E = model.to_physical(model.energy(sigma))
+        dall = model.to_physical(model.delta_all(sigma, aux))
+
+        def bf(i):
+            return model.to_physical(model.energy(sigma.at[i].multiply(-1))) - E
+
+        dbf = jax.vmap(bf)(jnp.arange(model.N))
+
+        def body(carry, k):
+            sigma, aux = carry
+            i = jax.random.randint(k, (), 0, model.N)
+            return model.flip(sigma, aux, i, jnp.asarray(True)), None
+
+        (sig2, aux2), _ = jax.lax.scan(
+            body, (sigma, aux), jax.random.split(jax.random.key(1), 50))
+        return dall, dbf, aux2, model.init_aux(sig2)
+
+    dall, dbf, aux2, aux_re = run(sigma0)
+    np.testing.assert_allclose(np.asarray(dall, np.float64),
+                               np.asarray(dbf, np.float64), atol=1e-9)
+    for a, b in zip(jax.tree.leaves(aux2), jax.tree.leaves(aux_re)):
+        np.testing.assert_allclose(np.asarray(a, np.float64),
+                                   np.asarray(b, np.float64), atol=1e-9)
+
+
+SAMPLER_MODELS = ["QSKT", "SKRE", "SKLE", "SKTLE", "AddFields", "SK"]
+
+
+@pytest.mark.parametrize("name", SAMPLER_MODELS)
+def test_sampler_energy_invariant(name):
+    model = ZOO[name]
+    for run in (
+        lambda: rt.standardMC(model, 2.0, iters=1500, step=100, chains=4, seed=5),
+        lambda: rt.rrrMC(model, 2.0, iters=800, step=100, chains=4, seed=6),
+        lambda: rt.bklMC(model, 2.0, iters=1500, step=100, chains=4, seed=7),
+    ):
+        Es, state = run()
+        E_re = jax.jit(jax.vmap(
+            lambda s: model.to_physical(model.energy(s))))(state.sigma)
+        E_run = jax.jit(jax.vmap(model.to_physical))(state.E)
+        np.testing.assert_allclose(np.asarray(E_run), np.asarray(E_re),
+                                   atol=1e-9)
+        assert np.all(np.isfinite(np.asarray(Es)))
+
+
+def _boltzmann_mean_energy(model, beta):
+    from rrrmc_tpu.observables import unpack_config
+    n = model.N
+    states = unpack_config(jnp.arange(2 ** n, dtype=jnp.int32), n)
+    E = jax.jit(jax.vmap(lambda s: model.to_physical(model.energy(s))))(states)
+    E = np.asarray(E, np.float64)
+    w = np.exp(-beta * (E - E.min()))
+    return float((w * E).sum() / w.sum())
+
+
+def test_quant_rrr_stationarity():
+    """rrrMC on a DoubleGraph quantum model must sample the exact Boltzmann
+    law (residual-corrected acceptance, /root/reference/src/RRRMC.jl:260-262)."""
+    model = rt.GraphQSKT(3, 4, 0.6, 1.5, seed=21)  # N = 12
+    beta = 1.5
+    E_exact = _boltzmann_mean_energy(model, beta)
+    Es, _ = rt.rrrMC(model, beta, iters=8000, step=20, chains=48, seed=2)
+    Es = np.asarray(Es)[:, 100:]
+    err = abs(Es.mean() - E_exact)
+    assert err < 0.06, (Es.mean(), E_exact)
+
+
+def test_le_standard_stationarity():
+    model = rt.GraphSKLE(3, 3, 0.5, 2.0, seed=22)  # N = 12
+    beta = 2.0
+    E_exact = _boltzmann_mean_energy(model, beta)
+    Es, _ = rt.standardMC(model, beta, iters=16000, step=40, chains=48, seed=3)
+    Es = np.asarray(Es)[:, 200:]
+    err = abs(Es.mean() - E_exact)
+    assert err < 0.06, (Es.mean(), E_exact)
+
+
+def test_quant_observables():
+    q = rt.GraphQSKT(6, 4, 0.5, 2.0, seed=3)
+    s = random_spins(jax.random.key(5), q.N)
+    Qe, tm, Ren, ov = jax.jit(lambda s: (
+        q.Qenergy(s), q.transverse_mag(s), q.Renergies(s), q.overlaps(s)))(s)
+    assert Ren.shape == (4,)
+    assert ov.shape == (2,)
+    assert np.all(np.abs(np.asarray(ov)) <= 1.0)
+    # Qenergy = -Gamma*tmag + mean replica energy per spin
+    np.testing.assert_allclose(
+        float(Qe), -0.5 * float(tm) + float(np.sum(np.asarray(Ren))) / q.N,
+        rtol=1e-12)
+
+
+def test_le_observables():
+    le = rt.GraphSKLE(4, 3, 0.4, 2.0, seed=5)
+    s = random_spins(jax.random.key(6), le.N)
+    ce, dist, Es = jax.jit(lambda s: (
+        le.cenergy(s), le.distances(s), le.LEenergies(s)))(s)
+    dist = np.asarray(dist)
+    assert dist.shape == (3, 3)
+    assert np.all(dist == dist.T) and np.all(np.diag(dist) == 0)
+    assert Es.shape == (3,)
+    # cenergy equals base energy of the slot-0 sub-configuration
+    base = le.resid_m.base
+    cc = np.asarray(s).reshape(4, 4)[:, 0]
+    E_direct = float(base.to_physical(base.energy(jnp.asarray(cc))))
+    np.testing.assert_allclose(float(ce), E_direct, rtol=1e-12)
+
+
+def test_fourK_formula():
+    import math
+    beta, Gamma, M = 2.0, 0.3, 16
+    fourK = rt.four_K(beta, Gamma, M)
+    expect = 2.0 / beta * math.log(1.0 / math.tanh(beta * Gamma / M))
+    assert abs(fourK - expect) < 1e-8
