@@ -1,0 +1,55 @@
+"""Headline benchmark: attempted spin flips per second on EA-3D.
+
+Workload: Edwards-Anderson 3D +-J lattice, L=16 (N=4096), beta=2.0, B=8192
+chains, checkerboard-sweep Metropolis (samplers/sweep.py) — the TPU
+equivalent of the reference's hot loop (/root/reference/src/RRRMC.jl:100-119)
+run at batch scale. Baseline: 1e9 attempted flips/s/chip (BASELINE.json
+north-star; the serial reference does ~1e7-1e8 on CPU).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+
+jax.config.update("jax_default_prng_impl", "unsafe_rbg")
+
+import numpy as np  # noqa: E402
+import rrrmc_tpu as rt  # noqa: E402
+
+BASELINE = 1.0e9  # attempted flips/s/chip
+
+
+def main():
+    L, B, beta = 16, 8192, 2.0
+    X = rt.GraphEA(L, 3, (-1, 1), seed=42)
+    # compile + thermalize
+    _, state = rt.sweepMC(X, beta, sweeps=10, step=10, chains=B, seed=1)
+    state.E.block_until_ready()
+
+    best = 0.0
+    sweeps = 100
+    for _ in range(3):
+        t0 = time.time()
+        _, state = rt.sweepMC(X, beta, sweeps=sweeps, step=sweeps, chains=B,
+                              seed=2, state=state)
+        state.E.block_until_ready()
+        dt = time.time() - t0
+        best = max(best, B * X.N * sweeps / dt)
+
+    # correctness guard: exact integer energy invariant
+    E_re = jax.jit(jax.vmap(X.energy))(state.sigma)
+    assert int(np.max(np.abs(np.asarray(E_re) - np.asarray(state.E)))) == 0
+
+    print(json.dumps({
+        "metric": "ea3d_attempted_flips_per_s",
+        "value": best,
+        "unit": "flips/s/chip",
+        "vs_baseline": best / BASELINE,
+    }))
+
+
+if __name__ == "__main__":
+    main()

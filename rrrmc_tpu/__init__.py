@@ -34,6 +34,8 @@ from .models.aliases import (
     Graph0LE, GraphSKLE, GraphEALE,
     Graph0TLE, GraphSKTLE, GraphEATLE,
 )
+from .models.pspin import GraphPSpin3, PSpin3
+from .models.lattice import LatticeEA
 from .models.sat import (GraphSAT, SATModel, make_sat, export_cnf,
                          GraphSATRE, GraphSATLE, GraphSATTLE)
 from .models.perceptron import (
@@ -42,6 +44,7 @@ from .models.perceptron import (
     GraphPercStepRE, GraphPercLinearRE, GraphPercStepLE, GraphPercLinearLE,
 )
 from .samplers.metropolis import standardMC
+from .samplers.sweep import sweepMC
 from .samplers.rrr import rrrMC
 from .samplers.bkl import bklMC
 from .samplers.wtm import wtmMC

@@ -117,8 +117,15 @@ def _pairwise_from_levels(adj, J, n, lev, degree) -> Pairwise:
 
 
 def GraphEA(L: int, D: int, LEV: Tuple[float, ...] = (-1, 1), *, seed=None) -> Pairwise:
-    """Edwards-Anderson lattice (GraphEA, /root/reference/src/graphs/EA.jl:170)."""
+    """Edwards-Anderson lattice (GraphEA, /root/reference/src/graphs/EA.jl:170).
+
+    For L > 2 returns the roll-based LatticeEA specialization (fast sweep
+    kernel); L = 2 keeps the generic Pairwise path (doubled parallel edges,
+    EA.jl:156-158)."""
     rng = _rng(seed)
+    if L > 2:
+        from .lattice import lattice_ea_from_levels
+        return lattice_ea_from_levels(L, D, LEV, rng)
     adj = gen_ea_adjacency(L, D)
     lev = [float(l) for l in LEV]
     J = assign_edge_couplings(adj, lambda: float(rng.choice(lev)))
@@ -129,6 +136,9 @@ def GraphEANormal(L: int, D: int, *, seed=None) -> Pairwise:
     """EA with unit-variance Gaussian J (GraphEANormal,
     /root/reference/src/graphs/EA.jl:534)."""
     rng = _rng(seed)
+    if L > 2:
+        from .lattice import lattice_ea_normal
+        return lattice_ea_normal(L, D, rng)
     adj = gen_ea_adjacency(L, D)
     J = assign_edge_couplings(adj, lambda: float(rng.standard_normal()))
     return make_pairwise(adj, J, L ** D)

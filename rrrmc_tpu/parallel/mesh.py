@@ -1,0 +1,79 @@
+"""Device-mesh scale-out for chain / disorder sharding.
+
+The reference is strictly single-process (SURVEY.md §2.4); scale-out here is
+a first-class new component. Chains are independent, so the base execution
+model is pure data parallelism: the MCState's leading (chain) axis is sharded
+over the mesh and the model pytree is replicated — XLA then runs each shard's
+sweep kernel locally with zero communication, and observable reductions
+(means, histograms) become psums at the reduction site only.
+
+Disorder sharding (many (model, seed) realizations) stacks model pytrees on a
+leading axis and shards that axis; see `stack_models`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(axis_sizes: Optional[dict] = None, *, devices=None) -> Mesh:
+    """Build a Mesh; default = all devices on one 'chains' axis.
+
+    axis_sizes: ordered {axis_name: size} with total = #devices, e.g.
+    {"temp": 2, "chains": 4}."""
+    devices = devices if devices is not None else jax.devices()
+    if axis_sizes is None:
+        axis_sizes = {"chains": len(devices)}
+    names = tuple(axis_sizes.keys())
+    sizes = tuple(axis_sizes.values())
+    assert int(np.prod(sizes)) == len(devices), \
+        f"mesh {axis_sizes} != {len(devices)} devices"
+    dev_array = np.asarray(devices).reshape(sizes)
+    return Mesh(dev_array, names)
+
+
+def shard_leading(tree, mesh: Mesh, axis: str = "chains"):
+    """Shard every array leaf's leading axis over `axis`; scalars replicate."""
+    def put(x):
+        if hasattr(x, "ndim") and x.ndim >= 1:
+            spec = P(axis, *([None] * (x.ndim - 1)))
+        else:
+            spec = P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    return jax.tree.map(put, tree)
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate a pytree (e.g. the model) across the mesh."""
+    return jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree)
+
+
+def stack_models(models: Sequence):
+    """Stack same-shape disorder realizations on a leading axis (the
+    vectorized analog of the reference's per-seed loops,
+    /root/reference/scripts/scripts.jl:83-149). Static metadata must agree."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *models)
+
+
+def sample_sharded(sampler, model, mesh: Mesh, *args, chains: int,
+                   chain_axis: str = "chains", **kw):
+    """Run any sampler with the chain axis sharded over the mesh.
+
+    The sampler's jitted scan sees sharded inputs and XLA partitions it
+    automatically (no collectives inside: chains are independent)."""
+    from ..samplers.common import init_state
+    n_shards = mesh.shape[chain_axis]
+    assert chains % n_shards == 0, (chains, n_shards)
+    model = replicate(model, mesh)
+    state = kw.pop("state", None)
+    if state is None:
+        state = init_state(model, chains, kw.pop("seed", 0),
+                           kw.pop("C0", None))
+    state = shard_leading(state, mesh, chain_axis)
+    return sampler(model, *args, chains=chains, state=state, **kw)

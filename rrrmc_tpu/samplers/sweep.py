@@ -1,0 +1,117 @@
+"""sweepMC: masked simultaneous Metropolis over graph-coloring classes — the
+TPU throughput kernel.
+
+The reference's hot loop flips ONE spin per iteration
+(/root/reference/src/RRRMC.jl:100-119); its O(1) bookkeeping exists to make
+that serial loop fast. On TPU the roofline move is to flip an entire
+*independent set* (color class) of spins per fused kernel: every spin in the
+class sees fixed neighbors, so the update is a product of independent
+single-site Metropolis decisions — a valid Glauber kernel with the same
+stationary Boltzmann law (SURVEY.md §7 "checkerboard sweeps"; equilibrium
+observables agree with the strict single-site chain, which standardMC keeps
+for reference-equivalent dynamics).
+
+For an EA lattice this is the classic checkerboard (2 colors); for arbitrary
+Pairwise graphs a greedy coloring is computed at build time. Per color step,
+for all B chains at once:
+
+    dE     = 2 sigma * lf                  (elementwise, [B, N])
+    accept = mask_c & (u < exp(-beta dE))  (one uniform draw per spin)
+    sigma' = sigma * (1 - 2 accept)
+    lf'    = J-gather recompute            (one padded gather, no scatter)
+
+Work is O(B N K) per sweep for B*N attempted flips — pure gather + VPU
+elementwise, no data-dependent control flow, so XLA fuses the whole sweep.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.dtypes import ftype
+from ..models.pairwise import Pairwise
+from .common import DEFAULT_SEED, MCState, init_state, series_to_chain_major
+
+
+def greedy_coloring(neigh: np.ndarray, n: int) -> np.ndarray:
+    """[N] color ids such that no edge joins same-colored spins (first-fit
+    greedy; exact 2-coloring for bipartite lattices like EA with even L)."""
+    colors = np.full(n, -1, dtype=np.int32)
+    for i in range(n):
+        used = {colors[j] for j in neigh[i] if j < n and colors[j] >= 0}
+        c = 0
+        while c in used:
+            c += 1
+        colors[i] = c
+    return colors
+
+
+def color_masks(model: Pairwise) -> jnp.ndarray:
+    """[C, N] boolean independent-set masks for a Pairwise model."""
+    neigh = np.asarray(model.neigh)
+    colors = greedy_coloring(neigh, model.N)
+    ncol = int(colors.max()) + 1
+    return jnp.asarray(np.stack([colors == c for c in range(ncol)]))
+
+
+def _sweep_once(model: Pairwise, beta, masks, sigma, aux, E, key):
+    """One full sweep: N attempted flips (all color classes), single chain."""
+    ncol = masks.shape[0]
+    ft = ftype()
+
+    def color_step(carry, mask):
+        sigma, aux, E, key = carry
+        key, ku = jax.random.split(key)
+        dE = 2 * sigma.astype(model.J.dtype) * aux
+        x = -beta * model.to_physical(dE)
+        u = jax.random.uniform(ku, (model.N,), ft)
+        acc = mask & ((x >= 0) | (u < jnp.exp(jnp.minimum(x, 0.0))))
+        sigma = jnp.where(acc, -sigma, sigma)
+        E = E + jnp.sum(jnp.where(acc, dE, jnp.zeros_like(dE)))
+        aux = model.local_fields(sigma)
+        return (sigma, aux, E, key), None
+
+    (sigma, aux, E, key), _ = jax.lax.scan(
+        color_step, (sigma, aux, E, key), masks)
+    return sigma, aux, E, key
+
+
+@partial(jax.jit, static_argnames=("n_checkpoints", "sweeps_per_checkpoint"))
+def _run_sweepmc(model: Pairwise, state: MCState, beta, masks,
+                 n_checkpoints: int, sweeps_per_checkpoint: int):
+    batched = jax.vmap(partial(_sweep_once, model, beta, masks))
+
+    def one_sweep(s: MCState, _):
+        sigma, aux, E, key = batched(s.sigma, s.aux, s.E, s.key)
+        return MCState(sigma=sigma, aux=aux, E=E, key=key,
+                       accepted=s.accepted), None
+
+    def checkpoint(s: MCState, _):
+        s, _ = jax.lax.scan(one_sweep, s, None, length=sweeps_per_checkpoint)
+        return s, jax.vmap(model.to_physical)(s.E)
+
+    state, series = jax.lax.scan(checkpoint, state, None, length=n_checkpoints)
+    return state, series
+
+
+def sweepMC(model: Pairwise, beta: float, sweeps: int, *, step: int = 1,
+            chains: int = 1, seed: int = DEFAULT_SEED, C0=None,
+            state: Optional[MCState] = None):
+    """Run `sweeps` full-lattice sweeps (N attempted flips each) per chain.
+
+    Returns (Es [chains, sweeps // step], final MCState). Same stationary law
+    as standardMC; use for throughput and equilibrium observables, use
+    standardMC when strict single-site dynamics matter."""
+    assert isinstance(model, Pairwise), "sweepMC requires a Pairwise model"
+    if state is None:
+        state = init_state(model, chains, seed, C0)
+    masks = (model.sweep_masks() if hasattr(model, "sweep_masks")
+             else color_masks(model))
+    state, series = _run_sweepmc(model, state, float(beta), masks,
+                                 sweeps // step, step)
+    return series_to_chain_major(series), state

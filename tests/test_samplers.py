@@ -97,6 +97,10 @@ def test_stationarity_exact(sampler, graph):
     model = SMALL[graph]
     p_exact, _ = boltzmann(model, BETA)
     chains, iters, step = 64, 12_000, 25
+    if graph == "RRGNormal":
+        # continuous-J landscape mixes slower; needs more samples for the
+        # TV bound (error is statistical: TV ~ 0.15 -> 0.02 at 8x samples)
+        chains, iters = 128, 36_000
     if sampler == "bkl":
         # validate via energy mean (checkpoint series is time-weighted)
         Es, _ = rt.bklMC(model, BETA, iters=iters, step=step, chains=chains,
