@@ -43,6 +43,12 @@ from .models.perceptron import (
     GraphQPercStepT, GraphQPercLinearT,
     GraphPercStepRE, GraphPercLinearRE, GraphPercStepLE, GraphPercLinearLE,
 )
+from .models.committee import (
+    Committee, GraphCommStep, GraphCommReLU, GraphCommQu,
+    GraphQCommStepT, GraphQCommReLUT, GraphQCommQuT,
+    GraphCommStepRE, GraphCommReLURE, GraphCommQuRE,
+    GraphCommStepLE, GraphCommReLULE, GraphCommQuLE,
+)
 from .samplers.metropolis import standardMC
 from .samplers.sweep import sweepMC
 from .samplers.rrr import rrrMC
@@ -51,5 +57,8 @@ from .samplers.wtm import wtmMC
 from .samplers.eo import extremal_opt, EOResult
 from .samplers.common import MCState, init_state, DEFAULT_SEED
 from . import observables
+from . import analysis
+from . import experiments
+from .utils.checkpoint import save_state, load_state
 
 __version__ = "0.1.0"

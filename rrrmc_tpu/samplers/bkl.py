@@ -89,9 +89,11 @@ def _fill_checkpoints(Es, step, x_start, e_start, xs, evs):
 
 def bklMC(model: Model, beta: float, iters: int, *, step: int = 1,
           chains: int = 1, seed: int = DEFAULT_SEED, C0=None,
-          chunk_moves: int = 512, state: Optional[MCState] = None):
+          chunk_moves: int = 512, hook=None,
+          state: Optional[MCState] = None):
     """Rejection-free BKL; `iters` counts virtual (rejected-inclusive)
-    iterations. Returns (Es [chains, iters // step], final MCState)."""
+    iterations. Returns (Es [chains, iters // step], final MCState).
+    hook(it, model, state) -> False stops early (called once per chunk)."""
     if state is None:
         state = init_state(model, chains, seed, C0)
     n_ckpt = iters // step
@@ -100,6 +102,8 @@ def bklMC(model: Model, beta: float, iters: int, *, step: int = 1,
     while True:
         state, it, Es = _bkl_chunk(model, float(beta), iters, step,
                                    chunk_moves, state, it, Es)
+        if hook is not None and hook(int(jnp.min(it)), model, state) is False:
+            break
         if int(jnp.min(it)) >= iters:
             break
     return Es, state

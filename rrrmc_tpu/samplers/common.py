@@ -88,3 +88,32 @@ def run_sweeps(model: Model, state: MCState, beta,
 def series_to_chain_major(series):
     """[n_checkpoints, B, ...] -> [B, n_checkpoints, ...]."""
     return jax.tree.map(lambda x: jnp.moveaxis(x, 0, 1), series)
+
+
+def run_with_hook(model: Model, state: MCState, beta, make_step,
+                  n_checkpoints: int, moves_per_checkpoint: int,
+                  observer, hook, hook_every: int):
+    """Chunked driver for the reference's hook protocol
+    (/root/reference/src/RRRMC.jl:61-64,104-109): `hook(it, model, state)` is
+    called on the host every `hook_every` checkpoints; returning False stops
+    the run early (the collected series so far is returned). The no-hook path
+    (`hook=None`) stays one fused jit."""
+    if hook is None:
+        return run_sweeps(model, state, beta, make_step=make_step,
+                          n_checkpoints=n_checkpoints,
+                          moves_per_checkpoint=moves_per_checkpoint,
+                          observer=observer)
+    parts = []
+    done = 0
+    while done < n_checkpoints:
+        k = min(hook_every, n_checkpoints - done)
+        state, series = run_sweeps(model, state, beta, make_step=make_step,
+                                   n_checkpoints=k,
+                                   moves_per_checkpoint=moves_per_checkpoint,
+                                   observer=observer)
+        parts.append(series)
+        done += k
+        if hook(done * moves_per_checkpoint, model, state) is False:
+            break
+    series = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
+    return state, series

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.model import Model
-from .common import (DEFAULT_SEED, MCState, init_state, run_sweeps,
+from .common import (DEFAULT_SEED, MCState, init_state, run_with_hook,
                      series_to_chain_major)
 
 
@@ -43,16 +43,20 @@ def make_metropolis_step(model: Model, beta: float):
 
 def standardMC(model: Model, beta: float, iters: int, *, step: int = 1,
                chains: int = 1, seed: int = DEFAULT_SEED, C0=None,
-               observer=None, state: Optional[MCState] = None):
+               observer=None, hook=None, hook_every: int = 10,
+               state: Optional[MCState] = None):
     """Run `iters` Metropolis moves per chain; returns (Es, state).
 
     Es: [chains, iters // step] physical energies at each checkpoint.
     state: final MCState (state.sigma is the C0-style warm restart handle).
+    hook(it, model, state) -> bool is the reference hook protocol
+    (/root/reference/src/RRRMC.jl:61-64): called every `hook_every`
+    checkpoints; returning False stops early.
     """
     if state is None:
         state = init_state(model, chains, seed, C0)
-    state, series = run_sweeps(model, state, float(beta),
-                               make_step=make_metropolis_step,
-                               n_checkpoints=iters // step,
-                               moves_per_checkpoint=step, observer=observer)
+    state, series = run_with_hook(model, state, float(beta),
+                                  make_metropolis_step,
+                                  iters // step, step, observer,
+                                  hook, hook_every)
     return series_to_chain_major(series), state

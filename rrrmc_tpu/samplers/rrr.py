@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.model import Model
-from .common import (DEFAULT_SEED, MCState, init_state, run_sweeps,
+from .common import (DEFAULT_SEED, MCState, init_state, run_with_hook,
                      series_to_chain_major)
 from .moves import (acceptance_weights, accept_factor,
                     categorical_from_weights, inner_view, tree_where)
@@ -71,7 +71,8 @@ def make_rrr_step(model: Model, beta):
 
 def rrrMC(model: Model, beta: float, iters: int, *, step: int = 1,
           chains: int = 1, seed: int = DEFAULT_SEED, C0=None,
-          observer=None, state: Optional[MCState] = None,
+          observer=None, hook=None, hook_every: int = 10,
+          state: Optional[MCState] = None,
           staged_thr: float = None, staged_thr_fact: float = 5.0):
     """Reduced-rejection-rate MC; same call surface as standardMC.
 
@@ -81,8 +82,7 @@ def rrrMC(model: Model, beta: float, iters: int, *, step: int = 1,
         raise ValueError(f"beta must be finite, given: {beta}")
     if state is None:
         state = init_state(model, chains, seed, C0)
-    state, series = run_sweeps(model, state, float(beta),
-                               make_step=make_rrr_step,
-                               n_checkpoints=iters // step,
-                               moves_per_checkpoint=step, observer=observer)
+    state, series = run_with_hook(model, state, float(beta), make_rrr_step,
+                                  iters // step, step, observer,
+                                  hook, hook_every)
     return series_to_chain_major(series), state

@@ -85,10 +85,11 @@ def _wtm_chunk(model, beta, tmax, step_t, chunk_moves, state: MCState,
 
 def wtmMC(model: Model, beta: float, samples: int, *, step: float = 1.0,
           chains: int = 1, seed: int = DEFAULT_SEED, C0=None,
-          chunk_moves: int = 512, state: Optional[MCState] = None):
+          chunk_moves: int = 512, hook=None,
+          state: Optional[MCState] = None):
     """Waiting-time method; collects up to `samples` checkpoints spaced
     `step` (scaled by 1/N) in global time. Returns (Es [chains, samples],
-    final MCState)."""
+    final MCState). hook(t, model, state) -> False stops early."""
     if state is None:
         state = init_state(model, chains, seed, C0)
     ft = ftype()
@@ -105,6 +106,8 @@ def wtmMC(model: Model, beta: float, samples: int, *, step: float = 1.0,
     while True:
         state, t, times, Es = _wtm_chunk(model, float(beta), tmax, step_t,
                                          chunk_moves, state, t, times, Es)
+        if hook is not None and hook(float(jnp.min(t)), model, state) is False:
+            break
         if float(jnp.min(t)) >= tmax:
             break
     return Es, state
