@@ -1,7 +1,9 @@
 """Headline benchmark: attempted spin flips per second on EA-3D.
 
 Workload: Edwards-Anderson 3D +-J lattice, L=16 (N=4096), beta=2.0, B=8192
-chains, checkerboard-sweep Metropolis (samplers/sweep.py) — the TPU
+chains, checkerboard-sweep Metropolis via the VMEM-resident Pallas kernel
+(ops/sweep_pallas.py; spins stay on-chip for 1000 sweeps per dispatch, local
+fields from sublane rolls, acceptance from the hardware PRNG) — the TPU
 equivalent of the reference's hot loop (/root/reference/src/RRRMC.jl:100-119)
 run at batch scale. Baseline: 1e9 attempted flips/s/chip (BASELINE.json
 north-star; the serial reference does ~1e7-1e8 on CPU).
@@ -14,10 +16,12 @@ import time
 
 import jax
 
-jax.config.update("jax_default_prng_impl", "unsafe_rbg")
+jax.config.update("jax_compilation_cache_dir", "/tmp/rrrmc_jit_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import rrrmc_tpu as rt  # noqa: E402
+from rrrmc_tpu.ops.sweep_pallas import PallasSweeper  # noqa: E402
 
 BASELINE = 1.0e9  # attempted flips/s/chip
 
@@ -25,19 +29,22 @@ BASELINE = 1.0e9  # attempted flips/s/chip
 def main():
     L, B, beta = 16, 8192, 2.0
     X = rt.GraphEA(L, 3, (-1, 1), seed=42)
+    sweeper = PallasSweeper(X, beta)
+    state = rt.init_state(X, B, seed=1)
     # compile + thermalize
-    _, state = rt.sweepMC(X, beta, sweeps=10, step=10, chains=B, seed=1)
-    state.E.block_until_ready()
+    sigma, E = sweeper(state.sigma, state.E, seed=7, n_sweeps=10)
+    sigma.block_until_ready()
 
     best = 0.0
-    sweeps = 100
-    for _ in range(3):
+    sweeps = 1000
+    for rep in range(3):
         t0 = time.time()
-        _, state = rt.sweepMC(X, beta, sweeps=sweeps, step=sweeps, chains=B,
-                              seed=2, state=state)
-        state.E.block_until_ready()
+        sigma, E = sweeper(sigma, E, seed=100 + rep, n_sweeps=sweeps)
+        sigma.block_until_ready()
         dt = time.time() - t0
         best = max(best, B * X.N * sweeps / dt)
+    state = rt.MCState(sigma=sigma, aux=state.aux, E=E, key=state.key,
+                       accepted=state.accepted)
 
     # correctness guard: exact integer energy invariant
     E_re = jax.jit(jax.vmap(X.energy))(state.sigma)

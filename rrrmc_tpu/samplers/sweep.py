@@ -99,17 +99,56 @@ def _run_sweepmc(model: Pairwise, state: MCState, beta, masks,
     return state, series
 
 
+def _pallas_eligible(model, chains: int) -> bool:
+    from ..models.lattice import LatticeEA
+    return (isinstance(model, LatticeEA)
+            and jnp.issubdtype(model.Jd.dtype, jnp.integer)
+            and model.L % 2 == 0
+            and int(jnp.max(jnp.abs(model.h))) == 0
+            and chains % 128 == 0)
+
+
+def _run_sweepmc_pallas(model, state: MCState, beta, n_ckpt, step, seed):
+    """Checkpointed driver over the VMEM-resident Pallas kernel
+    (ops/sweep_pallas.py): one kernel dispatch per checkpoint, exact int32
+    energy tracking; aux is rebuilt once at the end."""
+    from ..ops.sweep_pallas import PallasSweeper
+
+    sweeper = PallasSweeper(model, beta)
+    sigma, E = state.sigma, state.E
+    series = []
+    for k in range(n_ckpt):
+        sigma, E = sweeper(sigma, E, seed=seed + 7919 * k, n_sweeps=step)
+        series.append(model.to_physical(E))
+    aux = jax.vmap(model.init_aux)(sigma)
+    state = MCState(sigma=sigma, aux=aux, E=E, key=state.key,
+                    accepted=state.accepted)
+    return state, jnp.stack(series)
+
+
 def sweepMC(model: Pairwise, beta: float, sweeps: int, *, step: int = 1,
             chains: int = 1, seed: int = DEFAULT_SEED, C0=None,
-            state: Optional[MCState] = None):
+            state: Optional[MCState] = None, backend: str = "auto"):
     """Run `sweeps` full-lattice sweeps (N attempted flips each) per chain.
 
     Returns (Es [chains, sweeps // step], final MCState). Same stationary law
     as standardMC; use for throughput and equilibrium observables, use
-    standardMC when strict single-site dynamics matter."""
+    standardMC when strict single-site dynamics matter.
+
+    backend: "auto" picks the Pallas VMEM-resident kernel for even-L
+    integer-coupling LatticeEA models on TPU (~6x the XLA path), else the
+    generic XLA color-mask kernel; "xla" / "pallas" force a choice."""
     assert isinstance(model, Pairwise), "sweepMC requires a Pairwise model"
     if state is None:
         state = init_state(model, chains, seed, C0)
+    use_pallas = (backend == "pallas"
+                  or (backend == "auto"
+                      and jax.default_backend() not in ("cpu",)
+                      and _pallas_eligible(model, chains)))
+    if use_pallas:
+        state, series = _run_sweepmc_pallas(model, state, float(beta),
+                                            sweeps // step, step, seed)
+        return series_to_chain_major(series), state
     masks = (model.sweep_masks() if hasattr(model, "sweep_masks")
              else color_masks(model))
     state, series = _run_sweepmc(model, state, float(beta), masks,
