@@ -49,17 +49,26 @@ MAXDIGITS = 8  # QT.jl:40: fourK rounded to 8 decimal digits
 class Replicated(Model):
     """M replicas of `base` (shared disorder), energy = weight * sum_k E_k.
 
-    Acts on the composite spin vector of N = Nk * n_slots spins; slots
-    [offset, n_slots) are replicas of the base model, slots < offset (the LE
-    reference configuration) contribute nothing here. All returned energies
-    are PHYSICAL floats (exact-integer arithmetic stays inside `base`)."""
+    Acts on the composite spin vector of N = Nk * n_slots spins in
+    REPLICA-MAJOR block layout: blocks [0, offset) are center configurations
+    (the LE reference spins; they contribute nothing here), replica k lives
+    in the contiguous block [(offset + k) * Nk, (offset + k + 1) * Nk).
+
+    This layout is a deliberate TPU deviation from the reference's site-major
+    RE/LE conventions (/root/reference/src/graphs/RE.jl:255-263,
+    LE.jl:227-240): the hot paths slice one replica's spins per move, and a
+    contiguous dynamic_slice is fast while a per-chain strided gather costs
+    ~400us/move (measured). Use `to_reference_layout`/`from_reference_layout`
+    to convert configurations to/from the reference's index conventions.
+
+    All returned energies are PHYSICAL floats (exact-integer arithmetic stays
+    inside `base`)."""
 
     base: Model
     N: int = static(0)
     Nk: int = static(0)
-    n_slots: int = static(0)        # spins per site block (site-major) or M (replica-major)
-    offset: int = static(0)         # first replica slot (1 for LE)
-    replica_major: bool = static(False)
+    n_slots: int = static(0)        # blocks: offset centers + M replicas
+    offset: int = static(0)         # number of leading center blocks (LE: 1)
     weight: float = static(1.0)
     scale: float = static(1.0)
 
@@ -69,26 +78,19 @@ class Replicated(Model):
 
     # -- layout --
     def to_replicas(self, sigma):
-        """[N] composite -> [M, Nk] per-replica spin rows."""
-        if self.replica_major:
-            return sigma.reshape(self.M, self.Nk)
-        return sigma.reshape(self.Nk, self.n_slots).T[self.offset:]
-
-    def from_replicas(self, rows, fill):
-        """[M, Nk] per-replica values -> [N] composite (centers get `fill`)."""
-        if self.replica_major:
-            return rows.reshape(self.N)
-        cols = jnp.concatenate(
-            [jnp.full((self.offset, self.Nk), fill, rows.dtype), rows], axis=0)
-        return cols.T.reshape(self.N)
+        """[N] composite -> [M, Nk] per-replica spin rows (contiguous)."""
+        return sigma[self.offset * self.Nk:].reshape(self.M, self.Nk)
 
     def decompose(self, i):
         """Composite index -> (replica k, site ii, is_replica)."""
-        if self.replica_major:
-            return i // self.Nk, i % self.Nk, jnp.asarray(True)
-        slot = i % self.n_slots
-        k = jnp.maximum(slot - self.offset, 0)
-        return k, i // self.n_slots, slot >= self.offset
+        k = jnp.maximum(i // self.Nk - self.offset, 0)
+        return k, i % self.Nk, i >= self.offset * self.Nk
+
+    def replica_row(self, sigma, k):
+        """Spin row [Nk] of replica k: one contiguous dynamic slice."""
+        import jax.lax as lax
+        return lax.dynamic_slice(sigma, ((k + self.offset) * self.Nk,),
+                                 (self.Nk,))
 
     # -- Model interface (all energies physical) --
     def energy(self, sigma):
@@ -103,21 +105,25 @@ class Replicated(Model):
         rows = self.to_replicas(sigma)
         d = jax.vmap(lambda s, a: self.base.to_physical(
             self.base.delta_all(s, a)))(rows, aux)
-        return self.weight * self.from_replicas(d, 0.0)
+        flat = d.reshape(self.M * self.Nk)
+        if self.offset:
+            flat = jnp.concatenate(
+                [jnp.zeros((self.offset * self.Nk,), flat.dtype), flat])
+        return self.weight * flat
 
     def delta_one(self, sigma, aux, i):
         k, ii, is_rep = self.decompose(i)
         aux_k = jax.tree.map(lambda a: a[k], aux)
-        sig_k = self.to_replicas(sigma)[k]
+        sig_k = self.replica_row(sigma, k)
         d = self.base.to_physical(self.base.delta_one(sig_k, aux_k, ii))
         return jnp.where(is_rep, self.weight * d, jnp.zeros_like(d))
 
     def flip(self, sigma, aux, i, do):
         k, ii, is_rep = self.decompose(i)
-        do_vec = (jnp.arange(self.M) == k) & do & is_rep
-        ii_vec = jnp.full((self.M,), ii)
-        _, aux = jax.vmap(self.base.flip)(
-            self.to_replicas(sigma), aux, ii_vec, do_vec)
+        aux_k = jax.tree.map(lambda a: a[k], aux)
+        sig_k = self.replica_row(sigma, k)
+        _, aux_k2 = self.base.flip(sig_k, aux_k, ii, do & is_rep)
+        aux = jax.tree.map(lambda a, a2: a.at[k].set(a2), aux, aux_k2)
         return flip_spin(sigma, i, do), aux
 
     def replica_energies(self, sigma):
@@ -218,7 +224,7 @@ def GraphQuant(Nk: int, M: int, Gamma: float, beta: float,
     N = Nk * M
     inner = GraphQT(Nk, M, fourK)
     resid = Replicated(base=base, N=N, Nk=Nk, n_slots=M, offset=0,
-                       replica_major=True, weight=1.0 / M)
+                       weight=1.0 / M)
     return QuantModel(inner_m=inner, resid_m=resid, N=N,
                       M=M, Nk=Nk, beta=beta, Gamma=Gamma)
 
@@ -250,8 +256,10 @@ def _fk_table(M: int, gamma: float, beta: float) -> np.ndarray:
 class GraphRE(Model):
     """Interaction part of the robust ensemble: E = -sum_i log(2cosh(gamma*
     mu_i))/beta with mu_i the replica magnetization of site i (RE.jl:70-104).
-    Site-major layout j = k + i*M; aux = mu [Nk] int32. delta of flipping
-    (i,k) is sigma_{ik} * fk(mu_i - sigma_{ik}), via the precomputed fk table."""
+    REPLICA-MAJOR layout j = site + k*Nk (TPU deviation from the reference's
+    site-major RE.jl:255-263 — see Replicated); aux = mu [Nk] int32. delta of
+    flipping (i,k) is sigma_{ik} * fk(mu_i - sigma_{ik}) via the fk table;
+    delta_all is reshape-free (mu tiled across replica blocks)."""
 
     fk: jnp.ndarray          # [M] fk values indexed by (mubar + M - 1) // 2
     N: int = static(0)
@@ -262,29 +270,30 @@ class GraphRE(Model):
     scale: float = static(1.0)
 
     def _rows(self, sigma):
-        return sigma.reshape(self.Nk, self.Mr)  # [i, k]
+        return sigma.reshape(self.Mr, self.Nk)  # [k, i]
 
     def energy(self, sigma):
-        mu = self._rows(sigma).astype(jnp.int32).sum(axis=1)
+        mu = self._rows(sigma).astype(jnp.int32).sum(axis=0)
         return -jnp.sum(_log2cosh(self.gamma * mu.astype(ftype()))) / self.beta_p
 
     def init_aux(self, sigma):
-        return self._rows(sigma).astype(jnp.int32).sum(axis=1)
+        return self._rows(sigma).astype(jnp.int32).sum(axis=0)
 
     def delta_all(self, sigma, aux):
-        rows = self._rows(sigma).astype(jnp.int32)
-        mubar = aux[:, None] - rows              # [Nk, M]
+        s = sigma.astype(jnp.int32)
+        mu_ext = jnp.tile(aux, self.Mr)          # [N]: mu of j's site
+        mubar = mu_ext - s
         k = self.fk[(mubar + self.Mr - 1) >> 1]
-        return (rows.astype(self.fk.dtype) * k).reshape(self.N)
+        return s.astype(self.fk.dtype) * k
 
     def delta_one(self, sigma, aux, i):
-        site = i // self.Mr
+        site = i % self.Nk
         s = sigma[i].astype(jnp.int32)
         mubar = aux[site] - s
         return s.astype(self.fk.dtype) * self.fk[(mubar + self.Mr - 1) >> 1]
 
     def flip(self, sigma, aux, i, do):
-        site = i // self.Mr
+        site = i % self.Nk
         tgt = jnp.where(do, site, self.Nk)
         aux = aux.at[tgt].add(-2 * sigma[i].astype(jnp.int32), mode="drop")
         return flip_spin(sigma, i, do), aux
@@ -318,7 +327,7 @@ def GraphRobustEnsemble(Nk: int, M: int, gamma: float, beta: float,
     inner = GraphRE(fk=jnp.asarray(_fk_table(M, gamma, beta), ftype()),
                     N=N, Nk=Nk, Mr=M, gamma=gamma, beta_p=beta)
     resid = Replicated(base=base, N=N, Nk=Nk, n_slots=M, offset=0,
-                       replica_major=False, weight=1.0)
+                       weight=1.0)
     return REModel(inner_m=inner, resid_m=resid, N=N, M=M, Nk=Nk)
 
 
@@ -338,20 +347,21 @@ def _le_classes(M: int, gammaT: float) -> Tuple[float, ...]:
 
 def GraphLE(Nk: int, M: int, gammaT: float) -> Pairwise:
     """E = -gammaT * sum_i sigma^c_i sum_k sigma_{i,k} (LE.jl:55-84):
-    a star of M edges from each reference spin (slot 0 of each (M+1)-block)
-    to its replicas. Exact integer Pairwise with scale gammaT."""
+    a star of M edges from each reference spin to its replicas. Exact integer
+    Pairwise with scale gammaT. REPLICA-MAJOR block layout (TPU deviation
+    from LE.jl:227-240's interleaved slots): center block = indices [0, Nk),
+    replica k block = [(k+1)*Nk, (k+2)*Nk)."""
     if M <= 2:
         raise ValueError(f"M must be greater than 2, given: {M}")
     S = M + 1
     N = Nk * S
-    adj, J = [], []
+    adj, J = [None] * N, [None] * N
     for i in range(Nk):
-        jc = i * S
-        adj.append([jc + k for k in range(1, S)])  # center -> replicas
-        J.append([1.0] * M)
-        for k in range(1, S):
-            adj.append([jc])                        # replica -> center
-            J.append([1.0])
+        adj[i] = [(k + 1) * Nk + i for k in range(M)]  # center -> replicas
+        J[i] = [1.0] * M
+        for k in range(M):
+            adj[(k + 1) * Nk + i] = [i]                 # replica -> center
+            J[(k + 1) * Nk + i] = [1.0]
     return make_pairwise(adj, J, N, integer_scale=1.0,
                          classes=_le_classes(M, gammaT)).replace(scale=gammaT)
 
@@ -370,8 +380,8 @@ class LEModel(Double):
         return self.resid_m.replica_energies(sigma)
 
     def center_config(self, sigma):
-        """The reference configuration [Nk] (slot 0 of each block)."""
-        return sigma.reshape(self.Nk, self.M + 1)[:, 0]
+        """The reference configuration [Nk] (the leading block)."""
+        return sigma[: self.Nk]
 
     def cenergy(self, sigma):
         """Base-model energy of the reference configuration (LE.jl:271-274)."""
@@ -394,7 +404,7 @@ def GraphLocalEntropy(Nk: int, M: int, gamma: float, beta: float,
     N = Nk * S
     inner = GraphLE(Nk, M, gamma / beta)
     resid = Replicated(base=base, N=N, Nk=Nk, n_slots=S, offset=1,
-                       replica_major=False, weight=1.0)
+                       weight=1.0)
     return LEModel(inner_m=inner, resid_m=resid, N=N, M=M, Nk=Nk)
 
 
@@ -410,11 +420,12 @@ class GraphTLE(Model):
             -lambdaT * sum_{<i1,i2>} sigma^c_{i1} sigma^c_{i2}
                          sum_k sigma_{i1,k} sigma_{i2,k}
 
-    (TLE.jl:83-142). Layout as GraphLE. The site adjacency `neighb` is the
-    base graph's edge structure, padded [Nk, Kmax] with sentinel Nk. Deltas
-    are recomputed from sigma (aux-free): one [Nk, Kmax] gather + [Nk, M]
-    reduction per call — a fused vector pass instead of the reference's dual
-    incremental LocalFields caches (TLE.jl:156-299)."""
+    (TLE.jl:83-142). REPLICA-MAJOR block layout as GraphLE (center block
+    first). The site adjacency `neighb` is the base graph's edge structure,
+    padded [Nk, Kmax] with sentinel Nk. Deltas are recomputed from sigma
+    (aux-free): one gather + reduction pass per call — a fused vector pass
+    instead of the reference's dual incremental LocalFields caches
+    (TLE.jl:156-299)."""
 
     neighb: jnp.ndarray      # [Nk, Kmax] int32, padded with Nk
     N: int = static(0)
@@ -426,20 +437,23 @@ class GraphTLE(Model):
     scale: float = static(1.0)
 
     def _split(self, sigma):
-        """-> (center [Nk+1] int32 zero-padded, reps [Nk+1, M] zero-padded)."""
-        rows = sigma.reshape(self.Nk, self.Mr + 1).astype(jnp.int32)
-        z1 = jnp.zeros((1, self.Mr + 1), jnp.int32)
-        rows = jnp.concatenate([rows, z1])
-        return rows[:, 0], rows[:, 1:]
+        """-> (center [Nk+1] int32 zero-padded, reps [M, Nk+1] zero-padded
+        on the site axis)."""
+        s = sigma.astype(jnp.int32)
+        c = jnp.concatenate([s[: self.Nk], jnp.zeros((1,), jnp.int32)])
+        r = s[self.Nk:].reshape(self.Mr, self.Nk)
+        r = jnp.concatenate([r, jnp.zeros((self.Mr, 1), jnp.int32)], axis=1)
+        return c, r
 
     def energy(self, sigma):
         c, r = self._split(sigma)
-        n = -jnp.sum(c[:-1] * r[:-1].sum(axis=1))
+        n = -jnp.sum(c[None, : self.Nk] * r[:, : self.Nk])
         # topological: each edge once via i1 < i2 masking of the padded table
         i1 = jnp.arange(self.Nk)[:, None]
         mask = (self.neighb > i1) & (self.neighb < self.Nk)
-        dots = jnp.einsum("ik,ijk->ij", r[:-1], r[self.neighb])  # [Nk, Kmax]
-        t = -jnp.sum(jnp.where(mask, (c[:-1, None] * c[self.neighb]) * dots, 0))
+        rn = r[:, self.neighb]                          # [M, Nk, Kmax]
+        dots = jnp.einsum("ki,kij->ij", r[:, : self.Nk], rn)
+        t = -jnp.sum(jnp.where(mask, (c[: self.Nk, None] * c[self.neighb]) * dots, 0))
         return n * self.gammaT + t * self.lambdaT
 
     def init_aux(self, sigma):
@@ -447,21 +461,23 @@ class GraphTLE(Model):
 
     def delta_all(self, sigma, aux):
         c, r = self._split(sigma)
-        cn = c[self.neighb]                          # [Nk, Kmax] neighbor centers
-        rn = r[self.neighb]                          # [Nk, Kmax, M]
-        dots = jnp.einsum("ik,ijk->ij", r[:-1], rn)  # sum_k s_ik s_jk per edge
-        # replica spin (i,k):  d1 = 2 gT c_i s_ik ;
-        #                      d2 = 2 lT s_ik c_i sum_{j in ∂i} c_j s_jk
-        f_rep = jnp.einsum("ij,ijk->ik", cn.astype(ftype()), rn.astype(ftype()))
-        d_rep = (2.0 * self.gammaT) * (c[:-1, None] * r[:-1]).astype(ftype()) \
-            + (2.0 * self.lambdaT) * (c[:-1, None] * r[:-1]).astype(ftype()) * f_rep
+        cn = c[self.neighb]                             # [Nk, Kmax]
+        rn = r[:, self.neighb]                          # [M, Nk, Kmax]
+        ri = r[:, : self.Nk]                            # [M, Nk]
+        ci = c[: self.Nk]
+        dots = jnp.einsum("ki,kij->ij", ri, rn)         # sum_k s_ik s_jk
+        # replica spin (k,i): d1 = 2 gT c_i s_ki ;
+        #                     d2 = 2 lT s_ki c_i sum_{j in ∂i} c_j s_kj
+        f_rep = jnp.einsum("ij,kij->ki", cn.astype(ftype()), rn.astype(ftype()))
+        cr = (ci[None, :] * ri).astype(ftype())
+        d_rep = (2.0 * self.gammaT) * cr \
+            + (2.0 * self.lambdaT) * cr * f_rep
         # center spin i: d1 = 2 gT c_i mu_i ; d2 = 2 lT c_i sum_j c_j dot_ij
-        mu = r[:-1].sum(axis=1)
-        d_ctr = (2.0 * self.gammaT) * (c[:-1] * mu).astype(ftype()) \
-            + (2.0 * self.lambdaT) * c[:-1].astype(ftype()) \
+        mu = ri.sum(axis=0)
+        d_ctr = (2.0 * self.gammaT) * (ci * mu).astype(ftype()) \
+            + (2.0 * self.lambdaT) * ci.astype(ftype()) \
             * (cn * dots).sum(axis=1).astype(ftype())
-        out = jnp.concatenate([d_ctr[:, None], d_rep], axis=1)
-        return out.reshape(self.N)
+        return jnp.concatenate([d_ctr, d_rep.reshape(self.Mr * self.Nk)])
 
     def flip(self, sigma, aux, i, do):
         return flip_spin(sigma, i, do), aux
@@ -487,7 +503,7 @@ class TLEModel(Double):
         return self.resid_m.replica_energies(sigma)
 
     def center_config(self, sigma):
-        return sigma.reshape(self.Nk, self.M + 1)[:, 0]
+        return sigma[: self.Nk]
 
     def cenergy(self, sigma):
         base = self.resid_m.base
@@ -523,8 +539,42 @@ def GraphTopologicalLocalEntropy(Nk: int, M: int, gamma: float,
                      gammaT=gamma / beta, lambdaT=lambda_ / beta,
                      max_deg=kmax)
     resid = Replicated(base=base, N=N, Nk=Nk, n_slots=S, offset=1,
-                       replica_major=False, weight=1.0)
+                       weight=1.0)
     return TLEModel(inner_m=inner, resid_m=resid, N=N, M=M, Nk=Nk)
+
+
+# ---------------------------------------------------------------------------
+# layout conversion to/from the reference's index conventions
+# ---------------------------------------------------------------------------
+
+def reference_permutation(model) -> np.ndarray:
+    """perm such that sigma_internal[perm[j_ref]] == value at reference index
+    j_ref. Quant uses the reference's replica-major layout already
+    (QT.jl:172-182); RE is site-major j = k + i*M (RE.jl:255-263); LE/TLE are
+    site-major with slot 0 = reference (LE.jl:227-240)."""
+    Nk, M = model.Nk, model.M
+    if isinstance(model, QuantModel):
+        return np.arange(Nk * M)
+    if isinstance(model, REModel):
+        i, k = np.divmod(np.arange(Nk * M), M)
+        return k * Nk + i
+    if isinstance(model, (LEModel, TLEModel)):
+        i, s = np.divmod(np.arange(Nk * (M + 1)), M + 1)
+        return s * Nk + i  # s=0 -> center block, s=k+1 -> replica k block
+    raise TypeError(type(model).__name__)
+
+
+def from_reference_layout(model, sigma_ref):
+    """Reference-convention configuration -> internal block layout."""
+    perm = jnp.asarray(reference_permutation(model))
+    out = jnp.zeros_like(jnp.asarray(sigma_ref))
+    return out.at[perm].set(jnp.asarray(sigma_ref))
+
+
+def to_reference_layout(model, sigma):
+    """Internal block layout -> reference-convention configuration."""
+    perm = jnp.asarray(reference_permutation(model))
+    return jnp.asarray(sigma)[perm]
 
 
 # ---------------------------------------------------------------------------
