@@ -77,3 +77,33 @@ def sample_sharded(sampler, model, mesh: Mesh, *args, chains: int,
                            kw.pop("C0", None))
     state = shard_leading(state, mesh, chain_axis)
     return sampler(model, *args, chains=chains, state=state, **kw)
+
+
+def sample_disorder(sampler, models: Sequence, *args, chains: int,
+                    mesh: Optional[Mesh] = None, axis: str = "disorder",
+                    seed: int = 0, **kw):
+    """Run one sampler over MANY disorder realizations in a single program —
+    the vectorized replacement for the reference's sequential per-seed loops
+    (/root/reference/scripts/scripts.jl:83-149).
+
+    `models` must share static metadata (same builder, same sizes); their
+    array leaves are stacked on a leading axis, the whole sampler is vmapped
+    over it, and (optionally) that axis is sharded over `mesh`. Per-disorder
+    seeds derive from `seed`. Returns (Es [D, chains, n_ckpt], states with
+    leading D axis)."""
+    import jax
+    from ..samplers.common import init_state
+
+    stacked = stack_models(models)
+    D = len(models)
+    states = [init_state(m, chains, seed + 104729 * d)
+              for d, m in enumerate(models)]
+    state0 = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+    if mesh is not None:
+        stacked = shard_leading(stacked, mesh, axis)
+        state0 = shard_leading(state0, mesh, axis)
+
+    def one(model, state):
+        return sampler(model, *args, chains=chains, state=state, **kw)
+
+    return jax.vmap(one)(stacked, state0)
