@@ -19,6 +19,7 @@ from .models.graphs import (
     GraphRRG, GraphRRGNormal, GraphRRGNormalDiscretized,
     GraphIsing1D, GraphFields, GraphFieldsNormalDiscretized,
     GraphEmpty, GraphTwoSpin, GraphThreeSpin,
+    GraphEAFromFile, load_ea_instance,
 )
 from .models.dense import FullyConnected, GraphSK, GraphSKNormal, make_fully_connected
 from .models.replicas import (
@@ -51,6 +52,7 @@ from .models.committee import (
 )
 from .samplers.metropolis import standardMC
 from .samplers.sweep import sweepMC
+from .samplers.dense_sweep import sweepMC_dense
 from .samplers.rrr import rrrMC
 from .samplers.bkl import bklMC
 from .samplers.wtm import wtmMC

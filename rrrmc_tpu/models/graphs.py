@@ -186,6 +186,43 @@ def GraphEANormalDiscretized(L: int, D: int, LEV: Tuple[float, ...], *, seed=Non
     return _normal_discretized(adj, L ** D, [float(l) for l in LEV], 2 * D, rng)
 
 
+def load_ea_instance(fname: str):
+    """Parse a 2-D EA instance file (gen_AJ, /root/reference/src/graphs/EA.jl:73-118):
+    header lines `type:`, `size: L`, `name:`, then `x y Jxy` edges with
+    1-based site indices on the L x L periodic lattice. Returns (L, adj, J)."""
+    with open(fname) as f:
+        line = f.readline().strip()
+        assert line.startswith("type:"), line
+        ls = f.readline().split()
+        assert len(ls) == 2 and ls[0] == "size:", ls
+        L = int(ls[1])
+        assert f.readline().strip().startswith("name:")
+        adj = gen_ea_adjacency(L, 2)
+        n = L * L
+        J = [[None] * len(a) for a in adj]
+        for raw in f:
+            ls = raw.split()
+            if not ls:
+                continue
+            assert len(ls) == 3, ls
+            x, y, Jxy = int(ls[0]) - 1, int(ls[1]) - 1, float(ls[2])
+            for a, b in ((x, y), (y, x)):
+                k = adj[a].index(b)
+                if J[a][k] is not None:  # doubled edge (L=2): next free slot
+                    k = adj[a].index(b, k + 1)
+                assert J[a][k] is None
+                J[a][k] = Jxy
+        assert all(v is not None for row in J for v in row), "incomplete file"
+    return L, adj, J
+
+
+def GraphEAFromFile(fname: str) -> Pairwise:
+    """EA 2-D model from an instance file (the GraphEANormal file constructor,
+    /root/reference/src/graphs/EA.jl:576-581)."""
+    L, adj, J = load_ea_instance(fname)
+    return make_pairwise(adj, J, L * L)
+
+
 def GraphIsing1D(N: int) -> Pairwise:
     """Antiferromagnetic ring with constant fields h=1 (GraphIsing1D,
     /root/reference/src/graphs/Ising1D.jl:12-93); allDeltaE = (2, 6)."""

@@ -1,0 +1,123 @@
+"""Dense-model (SK) sweep kernel: sequential single-site Metropolis with
+MXU-blocked delayed local-field updates.
+
+A fully-connected flip costs O(N) local-field work, which is why the serial
+reference leans on @simd bit tricks (/root/reference/src/graphs/SK.jl:96-133).
+TPU-native, the classic delayed-update (rank-W) blocking maps that work onto
+the MXU:
+
+* each sweep visits the sites of one shared random permutation (a valid
+  random-scan Metropolis; the site order is state-independent, so sharing it
+  across the chain batch preserves every chain's law while making every
+  J-row access a broadcast instead of a per-chain gather);
+* the sweep is processed in windows of W sites: inside a window, decisions
+  are made sequentially against the stale local fields plus an O(W)-per-move
+  correction from the window's own accepted flips (exact — the [W, W]
+  coupling block is gathered once);
+* the O(N * W) local-field update is ONE int8 matmul per window,
+  lf += J[:, window] @ delta, accumulated in int32 on the MXU.
+
+Layout: spins and local fields live transposed [N, B] (chains on lanes);
+window row slices are sublane gathers. Exact int32 energies throughout.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.dtypes import ftype
+from ..models.dense import FullyConnected
+from .common import DEFAULT_SEED, MCState, init_state, series_to_chain_major
+
+
+def _window_step(beta_s, carry, inputs):
+    """One move inside a window. Carry holds only pure-add state (no dynamic
+    row writes — dynamic_update_slice in a scan carry forced whole-array
+    copies, ~150us/move measured); per-move results leave via scan outputs."""
+    lf_cur, E = carry                                # lf_cur: [W, B] int32
+    k, Jw_k, u, s_k = inputs                         # Jw_k: [W]; u, s_k: [B]
+    dE = 2 * s_k * lf_cur[k]                         # exact int32
+    acc = (dE <= 0) | (u < jnp.exp(-beta_s * dE.astype(ftype())))
+    d_k = jnp.where(acc, -2 * s_k, 0)                # [B] int32
+    lf_cur = lf_cur + Jw_k[:, None] * d_k[None, :]
+    E = E + jnp.where(acc, dE, 0)
+    return (lf_cur, E), (jnp.where(acc, -s_k, s_k), d_k, acc)
+
+
+@partial(jax.jit, static_argnames=("n_sweeps", "W"))
+def _run_dense_sweeps(J, beta_s, sigmaT, lfT, E, key, acc_count,
+                      n_sweeps: int, W: int):
+    """sigmaT/lfT: [N, B] int32; J: [N, N] int8; E: [B] int32."""
+    N, B = sigmaT.shape
+    n_win = N // W
+
+    def one_window(carry, rows_and_keys):
+        sigmaT, lfT, E, acc_count = carry
+        rows, ku = rows_and_keys                     # rows: [W] site ids
+        Jw = J[rows][:, rows].astype(jnp.int32)      # [W, W]
+        sig_w = sigmaT[rows]                         # [W, B]
+        lf_w = lfT[rows]
+        u = jax.random.uniform(ku, (W, B), ftype())
+        (_, E), (sig_new, delta, accs) = jax.lax.scan(
+            partial(_window_step, beta_s),
+            (lf_w, E),
+            (jnp.arange(W), Jw, u, sig_w))
+        sigmaT = sigmaT.at[rows].set(sig_new)
+        # rank-W local-field update on the MXU: lf += J[:, rows] @ delta
+        upd = jax.lax.dot_general(
+            J[rows].astype(jnp.int8), delta.astype(jnp.int8),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)        # [N, B]
+        lfT = lfT + upd
+        acc_count = acc_count + accs.sum(axis=0, dtype=jnp.int32)
+        return (sigmaT, lfT, E, acc_count), None
+
+    def one_sweep(carry, key):
+        k_perm, k_u = jax.random.split(key)
+        perm = jax.random.permutation(k_perm, N).reshape(n_win, W)
+        kus = jax.random.split(k_u, n_win)
+        carry, _ = jax.lax.scan(one_window, carry, (perm, kus))
+        return carry, carry[2]  # emit E per sweep
+
+    keys = jax.random.split(key, n_sweeps)
+    (sigmaT, lfT, E, acc_count), E_series = jax.lax.scan(
+        one_sweep, (sigmaT, lfT, E, acc_count), keys)
+    return sigmaT, lfT, E, acc_count, E_series
+
+
+def sweepMC_dense(model: FullyConnected, beta: float, sweeps: int, *,
+                  step: int = 1, chains: int = 1, seed: int = DEFAULT_SEED,
+                  C0=None, window: int = 128,
+                  state: Optional[MCState] = None):
+    """Random-permutation sequential Metropolis on a dense model; `sweeps`
+    full sweeps of N attempted flips per chain. Returns
+    (Es [chains, sweeps // step], final MCState). Requires integer J
+    (exact int32 energies); N must be a multiple of `window`."""
+    assert isinstance(model, FullyConnected), "requires a FullyConnected model"
+    assert jnp.issubdtype(model.J.dtype, jnp.integer), \
+        "dense sweep requires integer couplings (use GraphSK)"
+    assert int(jnp.max(jnp.abs(model.J))) <= 127, "couplings must fit int8"
+    N = model.N
+    W = min(window, N)
+    assert N % W == 0, (N, W)
+    if state is None:
+        state = init_state(model, chains, seed, C0)
+    beta_s = jnp.asarray(2.0 * beta * model.scale, ftype())
+    J8 = model.J.astype(jnp.int8)
+    key = jax.random.fold_in(jax.random.key(seed), 0x5EEb)
+    sigT = state.sigma.T.astype(jnp.int32)
+    lfT = jax.vmap(model.local_fields)(state.sigma).T.astype(jnp.int32)
+    sigT, lfT, E, acc, E_series = _run_dense_sweeps(
+        J8, beta_s / 2.0, sigT, lfT, state.E.astype(jnp.int32), key,
+        state.accepted, sweeps, W)
+    state = MCState(sigma=sigT.T.astype(jnp.int8),
+                    aux=lfT.T.astype(state.aux.dtype), E=E, key=state.key,
+                    accepted=acc)
+    n_ckpt = sweeps // step
+    Es = jax.vmap(model.to_physical)(
+        E_series[step - 1::step][:n_ckpt])            # [n_ckpt, B]
+    return series_to_chain_major(Es), state

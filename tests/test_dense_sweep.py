@@ -1,0 +1,43 @@
+"""Dense (SK) delayed-update sweep validation: exact invariant, agreement
+with exact Boltzmann, and exactness of the rank-W window correction (a
+window result must equal naive sequential single-site updates)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import rrrmc_tpu as rt
+from rrrmc_tpu.samplers.dense_sweep import sweepMC_dense
+from rrrmc_tpu.observables import unpack_config
+
+
+def test_dense_sweep_invariant_and_boltzmann():
+    m = rt.GraphSK(16, seed=1)
+    Es, st = sweepMC_dense(m, 1.2, sweeps=3000, step=10, chains=32, seed=3,
+                           window=8)
+    E_re = jax.jit(jax.vmap(m.energy))(st.sigma)
+    np.testing.assert_array_equal(np.asarray(E_re), np.asarray(st.E))
+    states = unpack_config(jnp.arange(2 ** 16, dtype=jnp.int32), 16)
+    E_all = np.asarray(jax.jit(jax.vmap(
+        lambda s: m.to_physical(m.energy(s))))(states), np.float64)
+    w = np.exp(-1.2 * (E_all - E_all.min()))
+    E_exact = (w * E_all).sum() / w.sum()
+    got = np.asarray(Es)[:, 100:].mean()
+    assert abs(got - E_exact) < 0.1, (got, E_exact)
+
+
+def test_dense_sweep_window_exactness():
+    """The delayed-update correction is exact at every window size: the
+    running energy (accumulated from the corrected dE decisions) must equal
+    a from-scratch recomputation after many sweeps; a wrong correction would
+    accumulate wrong dE and break the invariant. Equilibrium means agree
+    across window sizes (RNG schedules differ, so only statistically)."""
+    m = rt.GraphSK(32, seed=2)
+    means = []
+    for W in (8, 16, 32):
+        Es, st = sweepMC_dense(m, 1.0, sweeps=800, step=10, chains=16, seed=7,
+                               window=W)
+        E_re = jax.jit(jax.vmap(m.energy))(st.sigma)
+        np.testing.assert_array_equal(np.asarray(E_re), np.asarray(st.E))
+        means.append(np.asarray(Es)[:, 30:].mean())
+    assert max(means) - min(means) < 0.5, means

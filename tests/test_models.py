@@ -136,3 +136,31 @@ def test_delta_classes_cover_observed():
         d = np.abs(np.asarray(model.to_physical(model.delta_all(sigma, aux))))
         for v in d:
             assert any(abs(v - c) < 1e-9 for c in classes), (name, v, classes)
+
+
+def test_ea_from_file(tmp_path):
+    """Round-trip the reference's 2-D EA instance file format
+    (gen_AJ, /root/reference/src/graphs/EA.jl:73-118)."""
+    import numpy as np
+    import rrrmc_tpu as rt
+
+    X0 = rt.GraphEA(4, 2, (-1, 1), seed=3)
+    adj = np.asarray(X0.neigh)
+    J = np.asarray(X0.J)
+    lines = ["type: EA", "size: 4", "name: test"]
+    seen = set()
+    for x in range(X0.N):
+        for k, y in enumerate(adj[x]):
+            if (min(x, y), max(x, y)) in seen:
+                continue
+            seen.add((min(x, y), max(x, y)))
+            lines.append(f"{x + 1} {y + 1} {float(J[x, k]) * X0.scale}")
+    p = tmp_path / "inst.txt"
+    p.write_text("\n".join(lines) + "\n")
+    X1 = rt.GraphEAFromFile(str(p))
+    import jax, jax.numpy as jnp
+    from rrrmc_tpu.core.model import random_spins
+    s = random_spins(jax.random.key(0), X0.N)
+    e0 = float(X0.to_physical(X0.energy(s)))
+    e1 = float(X1.to_physical(X1.energy(s)))
+    assert abs(e0 - e1) < 1e-9
