@@ -28,7 +28,6 @@ cast on TPU).
 
 from __future__ import annotations
 
-import os
 from functools import partial
 
 import numpy as np
@@ -37,11 +36,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .prng import interpret_params, random_bits
+
 #: set RRRMC_PALLAS_INTERPRET=1 to run the kernel in the TPU interpreter
-#: (CPU-testable incl. pltpu.prng_*; used by the test suite)
-_INTERPRET = (pltpu.InterpretParams()
-              if int(os.environ.get("RRRMC_PALLAS_INTERPRET", "0"))
-              else False)
+#: (CPU-testable; used by the test suite). The interpreter's
+#: pltpu.prng_random_bits is all-zeros, so acceptance randomness comes from
+#: ops/prng.py's counter hash there.
+_INTERPRET = interpret_params()
 
 
 def _build_dir_tables(model):
@@ -62,6 +63,7 @@ def _sweep_kernel(seed_ref, ns_ref, beta2s_ref, sigma_ref, jp_ref, jm_ref,
                   sigma_out, dE_out, *, L, D, BT):
     N = L ** D
     pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    salt0 = (seed_ref[0] + pl.program_id(0)) * jnp.int32(1000003)
     n_sweeps = ns_ref[0]    # dynamic trip count: one compile for any length
     beta2s = beta2s_ref[0]  # beta * 2 * physical scale (f32)
 
@@ -96,10 +98,10 @@ def _sweep_kernel(seed_ref, ns_ref, beta2s_ref, sigma_ref, jp_ref, jm_ref,
                     + jm_ref[:, d][:, None] * nb_m
         return lf
 
-    def color_step(sig, dE_acc, mask):
+    def color_step(sig, dE_acc, mask, salt):
         half = sig * local_fields(sig)             # dE_int = 2 * half
         # integer-domain acceptance: r ~ U(int32) < p*2^32 - 2^31 <=> u < p
-        rbits = pltpu.bitcast(pltpu.prng_random_bits((N, BT)), jnp.int32)
+        rbits = random_bits((N, BT), salt)
         p = jnp.exp(-beta2s * half.astype(jnp.float32))
         thresh = jnp.clip(
             p * jnp.float32(4294967296.0) - jnp.float32(2147483648.0),
@@ -112,10 +114,10 @@ def _sweep_kernel(seed_ref, ns_ref, beta2s_ref, sigma_ref, jp_ref, jm_ref,
             dtype=jnp.int32)  # explicit: x64 mode must not widen the carry
         return sig, dE_acc
 
-    def one_sweep(_, carry):
+    def one_sweep(sw, carry):
         sig, dE_acc = carry
-        sig, dE_acc = color_step(sig, dE_acc, even)
-        sig, dE_acc = color_step(sig, dE_acc, ~even)
+        sig, dE_acc = color_step(sig, dE_acc, even, salt0 + 2 * sw)
+        sig, dE_acc = color_step(sig, dE_acc, ~even, salt0 + 2 * sw + 1)
         return sig, dE_acc
 
     sig0 = sigma_ref[:].astype(jnp.int32)

@@ -50,8 +50,8 @@ def make_bkl_move(model: Model, beta: float, iters: int):
     return move1
 
 
-@partial(jax.jit, static_argnames=("iters", "step", "chunk_moves"))
-def _bkl_chunk(model, beta, iters, step, chunk_moves, state: MCState, it, Es):
+def _bkl_chunk_body(model, beta, iters, step, chunk_moves, state: MCState,
+                    it, Es):
     move1 = make_bkl_move(model, beta, iters)
     batched = jax.vmap(move1)
 
@@ -67,6 +67,27 @@ def _bkl_chunk(model, beta, iters, step, chunk_moves, state: MCState, it, Es):
     (state, it), (its, evs) = jax.lax.scan(body, (state, it), None,
                                            length=chunk_moves)
     Es = _fill_checkpoints(Es, step, it_start, e_start, its, evs)
+    return state, it, Es
+
+
+_bkl_chunk = partial(jax.jit, static_argnames=("iters", "step",
+                                               "chunk_moves"))(_bkl_chunk_body)
+
+
+@partial(jax.jit, static_argnames=("iters", "step", "chunk_moves"))
+def _bkl_run(model, beta, iters, step, chunk_moves, state: MCState, it, Es):
+    """Whole hookless run in ONE jit: lax.while_loop over chunks, no host
+    sync per chunk (and vmap-able, so sample_disorder can stack it)."""
+    def cond(carry):
+        _, it, _ = carry
+        return jnp.min(it) < iters
+
+    def body(carry):
+        state, it, Es = carry
+        return _bkl_chunk_body(model, beta, iters, step, chunk_moves,
+                               state, it, Es)
+
+    state, it, Es = jax.lax.while_loop(cond, body, (state, it, Es))
     return state, it, Es
 
 
@@ -99,10 +120,16 @@ def bklMC(model: Model, beta: float, iters: int, *, step: int = 1,
     n_ckpt = iters // step
     Es = jnp.zeros((chains, n_ckpt), ftype())
     it = jnp.zeros(chains, jnp.int64 if jax.config.jax_enable_x64 else jnp.int32)
+    if hook is None:
+        # hookless fast path: the whole run is one jitted while_loop (no
+        # per-chunk host round trip; vmap-able under sample_disorder)
+        state, it, Es = _bkl_run(model, float(beta), iters, step,
+                                 chunk_moves, state, it, Es)
+        return Es, state
     while True:
         state, it, Es = _bkl_chunk(model, float(beta), iters, step,
                                    chunk_moves, state, it, Es)
-        if hook is not None and hook(int(jnp.min(it)), model, state) is False:
+        if hook(int(jnp.min(it)), model, state) is False:
             break
         if int(jnp.min(it)) >= iters:
             break

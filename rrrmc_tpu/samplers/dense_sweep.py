@@ -91,12 +91,17 @@ def _run_dense_sweeps(J, beta_s, sigmaT, lfT, E, key, acc_count,
 
 def sweepMC_dense(model: FullyConnected, beta: float, sweeps: int, *,
                   step: int = 1, chains: int = 1, seed: int = DEFAULT_SEED,
-                  C0=None, window: int = 128,
+                  C0=None, window: int = 128, backend: str = "xla",
                   state: Optional[MCState] = None):
-    """Random-permutation sequential Metropolis on a dense model; `sweeps`
+    """Sequential single-site Metropolis sweeps on a dense model; `sweeps`
     full sweeps of N attempted flips per chain. Returns
     (Es [chains, sweeps // step], final MCState). Requires integer J
-    (exact int32 energies); N must be a multiple of `window`."""
+    (exact int32 energies); N must be a multiple of `window`.
+
+    backend="xla": random-permutation site order (reference-faithful random
+    scan). backend="pallas": the VMEM-resident typewriter-scan kernel
+    (ops/sk_pallas.py, ~1e10 flips/s/chip); requires N % 128 == 0; does not
+    update `accepted`."""
     assert isinstance(model, FullyConnected), "requires a FullyConnected model"
     assert jnp.issubdtype(model.J.dtype, jnp.integer), \
         "dense sweep requires integer couplings (use GraphSK)"
@@ -106,6 +111,9 @@ def sweepMC_dense(model: FullyConnected, beta: float, sweeps: int, *,
     assert N % W == 0, (N, W)
     if state is None:
         state = init_state(model, chains, seed, C0)
+    if backend == "pallas":
+        return _sweep_dense_pallas(model, beta, sweeps, step, seed, state)
+    assert backend == "xla", backend
     beta_s = jnp.asarray(2.0 * beta * model.scale, ftype())
     J8 = model.J.astype(jnp.int8)
     key = jax.random.fold_in(jax.random.key(seed), 0x5EEb)
@@ -121,3 +129,25 @@ def sweepMC_dense(model: FullyConnected, beta: float, sweeps: int, *,
     Es = jax.vmap(model.to_physical)(
         E_series[step - 1::step][:n_ckpt])            # [n_ckpt, B]
     return series_to_chain_major(Es), state
+
+
+def _sweep_dense_pallas(model, beta, sweeps, step, seed, state):
+    """Checkpoint-granular driver over the VMEM-resident Pallas kernel: one
+    dispatch per checkpoint (`step` sweeps stay on-chip per dispatch)."""
+    from ..ops.sk_pallas import PallasSKSweeper
+
+    sw = PallasSKSweeper(model, beta)
+    sigma, E, lfT = state.sigma, state.E.astype(jnp.int32), None
+    n_ckpt = sweeps // step
+    Es = []
+    for c in range(n_ckpt):
+        sigma, E, lfT = sw(sigma, E, seed=(seed * 1000003 + c) % (2 ** 31),
+                           n_sweeps=step, lfT=lfT)
+        Es.append(E)
+    if sweeps % step:
+        sigma, E, lfT = sw(sigma, E, seed=(seed * 1000003 + n_ckpt) % (2 ** 31),
+                           n_sweeps=sweeps % step, lfT=lfT)
+    E_series = jnp.stack(Es) if Es else jnp.zeros((0, sigma.shape[0]), E.dtype)
+    state = MCState(sigma=sigma, aux=lfT.T.astype(state.aux.dtype),
+                    E=E, key=state.key, accepted=state.accepted)
+    return series_to_chain_major(jax.vmap(model.to_physical)(E_series)), state

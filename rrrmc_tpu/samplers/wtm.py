@@ -62,9 +62,8 @@ def make_wtm_move(model: Model, beta, tmax):
     return move1
 
 
-@partial(jax.jit, static_argnames=("chunk_moves",))
-def _wtm_chunk(model, beta, tmax, step_t, chunk_moves, state: MCState,
-               t, times, Es):
+def _wtm_chunk_body(model, beta, tmax, step_t, chunk_moves, state: MCState,
+                    t, times, Es):
     move1 = make_wtm_move(model, beta, tmax)
     batched = jax.vmap(move1)
 
@@ -81,6 +80,25 @@ def _wtm_chunk(model, beta, tmax, step_t, chunk_moves, state: MCState,
         body, (state, t, times), None, length=chunk_moves)
     Es = _fill_checkpoints(Es, step_t, t_start, e_start, ts, evs)
     return state, t, times, Es
+
+
+_wtm_chunk = partial(jax.jit, static_argnames=("chunk_moves",))(_wtm_chunk_body)
+
+
+@partial(jax.jit, static_argnames=("chunk_moves",))
+def _wtm_run(model, beta, tmax, step_t, chunk_moves, state: MCState,
+             t, times, Es):
+    """Whole hookless run in ONE jit (see bkl._bkl_run)."""
+    def cond(carry):
+        _, t, _, _ = carry
+        return jnp.min(t) < tmax
+
+    def body(carry):
+        state, t, times, Es = carry
+        return _wtm_chunk_body(model, beta, tmax, step_t, chunk_moves,
+                               state, t, times, Es)
+
+    return jax.lax.while_loop(cond, body, (state, t, times, Es))
 
 
 def wtmMC(model: Model, beta: float, samples: int, *, step: float = 1.0,
@@ -103,10 +121,14 @@ def wtmMC(model: Model, beta: float, samples: int, *, step: float = 1.0,
         key_times, state.sigma, state.aux)
     t = jnp.zeros(chains, ft)
     Es = jnp.zeros((chains, samples), ft)
+    if hook is None:
+        state, t, times, Es = _wtm_run(model, float(beta), tmax, step_t,
+                                       chunk_moves, state, t, times, Es)
+        return Es, state
     while True:
         state, t, times, Es = _wtm_chunk(model, float(beta), tmax, step_t,
                                          chunk_moves, state, t, times, Es)
-        if hook is not None and hook(float(jnp.min(t)), model, state) is False:
+        if hook(float(jnp.min(t)), model, state) is False:
             break
         if float(jnp.min(t)) >= tmax:
             break
