@@ -35,6 +35,7 @@ from .models.aliases import (
     Graph0LE, GraphSKLE, GraphEALE,
     Graph0TLE, GraphSKTLE, GraphEATLE,
 )
+from .models.flatten import flatten
 from .models.pspin import GraphPSpin3, PSpin3
 from .models.lattice import LatticeEA
 from .models.sat import (GraphSAT, SATModel, make_sat, export_cnf,

@@ -45,7 +45,7 @@ def geometric_skip(key, p):
     denom = jnp.log1p(-jnp.minimum(p, 1 - 1e-12))
     skip = jnp.floor(jnp.log(jnp.maximum(1 - u, eps)) / denom)
     skip = jnp.where(p >= 1.0, 0.0, skip)
-    return skip.astype(jnp.int64)
+    return skip.astype(jnp.int64 if jax.config.jax_enable_x64 else jnp.int32)
 
 
 def accept_factor(key, c, x):
