@@ -139,16 +139,54 @@ def make_sat(N: int, A: np.ndarray, L: np.ndarray) -> SATModel:
                     max_conn=int(counts.max(initial=0)))
 
 
-def export_cnf(X: SATModel, filename: str):
-    """DIMACS CNF export (SAT.jl:129-140)."""
+def export_cnf(X: SATModel, filename: str, decimate=None):
+    """DIMACS CNF export (SAT.jl:129-140); with `decimate` (a list of
+    1-based signed variables assumed fixed) performs unit propagation before
+    writing, mirroring SAT.jl:142-187: satisfied clauses drop, falsified
+    literals are removed, clauses reduced to units join the decimation list
+    (contradictions raise)."""
     A = np.asarray(X.A)
     L = np.asarray(X.L)
+    clauses = [[(int(A[a, k]), int(L[a, k])) for k in range(A.shape[1])
+                if A[a, k] < X.N] for a in range(X.Mc)]
+    decimate = list(decimate) if decimate else []
+    if decimate:
+        T = [[] for _ in range(X.N)]
+        for a, cl in enumerate(clauses):
+            for i, _ in cl:
+                T[i].append(a)
+        j = 0
+        while j < len(decimate):
+            v = decimate[j]
+            s, i = (1 if v > 0 else -1), abs(v) - 1
+            for a in T[i]:
+                cl = clauses[a]
+                if not cl:
+                    continue
+                k = next(kk for kk, (ii, _) in enumerate(cl) if ii == i)
+                if cl[k][1] == s:
+                    clauses[a] = []          # clause satisfied
+                else:
+                    if len(cl) == 1:
+                        raise ValueError("contradiction during decimation")
+                    del cl[k]
+                    if len(cl) == 1:
+                        newv = (cl[0][0] + 1) * cl[0][1]
+                        if -newv in decimate:
+                            raise ValueError("contradiction during decimation")
+                        if newv not in decimate:
+                            decimate.append(newv)
+                        clauses[a] = []      # emitted as a unit below
+            T[i] = []
+            j += 1
+    n_out = sum(1 for cl in clauses if cl) + len(decimate)
     with open(filename, "w") as f:
-        f.write(f"p cnf {X.N} {X.Mc}\n")
-        for a in range(X.Mc):
-            lits = [int(L[a, k]) * (int(A[a, k]) + 1)
-                    for k in range(A.shape[1]) if A[a, k] < X.N]
-            f.write(" ".join(map(str, lits)) + " 0\n")
+        f.write(f"p cnf {X.N} {n_out}\n")
+        for cl in clauses:
+            if cl:
+                f.write(" ".join(str(s * (i + 1)) for i, s in cl) + " 0\n")
+        for v in decimate:
+            f.write(f"{v} 0\n")
 
 
 # --- replica-ensemble aliases (REAliases.jl / LEAliases.jl / TLEAliases.jl) --

@@ -106,3 +106,22 @@ def test_export_cnf(tmp_path):
     assert lines[0] == f"p cnf 10 {model.Mc}"
     assert len(lines) == 1 + model.Mc
     assert all(ln.endswith(" 0") for ln in lines[1:])
+
+
+def test_export_cnf_decimated(tmp_path):
+    """Decimated export (SAT.jl:142-187): fixing variable 1 satisfies or
+    shrinks its clauses; the written formula plus the units must be
+    equisatisfiable assignments consistent with the original clauses."""
+    model = rt.GraphSAT(10, 3, 2.0, seed=9)
+    p = tmp_path / "d.cnf"
+    rt.export_cnf(model, str(p), decimate=[1])
+    lines = p.read_text().strip().splitlines()
+    n_clauses = int(lines[0].split()[-1])
+    assert len(lines) == 1 + n_clauses
+    body = [list(map(int, ln.split()))[:-1] for ln in lines[1:]]
+    # the decimated variable appears only as its unit clause
+    assert [1] in body
+    assert all(1 not in cl and -1 not in cl for cl in body if cl != [1])
+    # no clause shrank below size 1 and none contains a var out of range
+    assert all(1 <= len(cl) <= 3 for cl in body)
+    assert all(abs(v) <= 10 for cl in body for v in cl)
