@@ -21,7 +21,8 @@ from .models.graphs import (
     GraphEmpty, GraphTwoSpin, GraphThreeSpin,
     GraphEAFromFile, load_ea_instance,
 )
-from .models.dense import FullyConnected, GraphSK, GraphSKNormal, make_fully_connected
+from .models.dense import (FullyConnected, GraphSK, GraphSKNormal,
+                           make_fully_connected, densify)
 from .models.replicas import (
     GraphQT, GraphQuant, QuantModel, four_K, transverse_mag,
     GraphRE, GraphRobustEnsemble, REModel,

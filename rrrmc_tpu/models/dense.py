@@ -32,32 +32,57 @@ class FullyConnected(Model):
     h: jnp.ndarray       # [N]
     N: int = static()
     scale: float = static(1.0)
+    #: run the local-field matmul in bf16 (EXACT when |J| <= 127 and row
+    #: sums < 2^24: products are small integers, accumulation is f32; set by
+    #: densify()). v5e executes int8 dots at f32 rate but bf16 at 4x.
+    mm_bf16: bool = static(False)
+
+    @property
+    def _acc_dtype(self):
+        """Accumulator dtype: int32 for integer J (J may be stored int8 —
+        densify() does — so products/sums must widen), else J's float."""
+        return (jnp.int32 if jnp.issubdtype(self.J.dtype, jnp.integer)
+                else self.J.dtype)
 
     def local_fields(self, sigma):
-        return self.J @ sigma.astype(self.J.dtype) + self.h
+        import jax.lax as lax
+        acc = self._acc_dtype
+        if self.mm_bf16:
+            lf = lax.dot_general(self.J.astype(jnp.bfloat16),
+                                 sigma.astype(jnp.bfloat16),
+                                 dimension_numbers=(((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+            lf = lf.astype(acc)
+        else:
+            lf = lax.dot_general(self.J, sigma.astype(self.J.dtype),
+                                 dimension_numbers=(((1,), (0,)), ((), ())),
+                                 preferred_element_type=acc)
+        return lf + self.h.astype(acc)
 
     def energy(self, sigma):
-        s = sigma.astype(self.J.dtype)
-        lf = self.J @ s
-        quad = s @ lf
-        if jnp.issubdtype(self.J.dtype, jnp.integer):
+        acc = self._acc_dtype
+        s = sigma.astype(acc)
+        lf = self.local_fields(sigma)
+        quad = s @ (lf - self.h.astype(acc))
+        if jnp.issubdtype(acc, jnp.integer):
             quad = quad // 2  # exact: symmetric J, zero diag => quad is even
         else:
             quad = quad / 2
-        return -(quad + s @ self.h)
+        return -(quad + s @ self.h.astype(acc))
 
     def init_aux(self, sigma):
         return self.local_fields(sigma)
 
     def delta_all(self, sigma, aux):
-        return 2 * sigma.astype(self.J.dtype) * aux
+        return 2 * sigma.astype(self._acc_dtype) * aux
 
     def delta_one(self, sigma, aux, i):
-        return 2 * sigma[i].astype(self.J.dtype) * aux[i]
+        return 2 * sigma[i].astype(self._acc_dtype) * aux[i]
 
     def flip(self, sigma, aux, i, do):
-        s_i = sigma[i].astype(self.J.dtype)
-        row = self.J[i]
+        acc = self._acc_dtype
+        s_i = sigma[i].astype(acc)
+        row = self.J[i].astype(acc)
         upd = jnp.where(do, -2 * s_i, jnp.zeros_like(s_i))
         aux = aux + upd * row
         return flip_spin(sigma, i, do), aux
@@ -86,6 +111,47 @@ def GraphSKNormal(N: int, *, seed=None) -> FullyConnected:
     J = _sym_zero_diag(rng.standard_normal((N, N)) / np.sqrt(N))
     return FullyConnected(J=jnp.asarray(J, ftype()),
                           h=jnp.zeros((N,), ftype()), N=N)
+
+
+def densify(model) -> FullyConnected:
+    """Sparse Pairwise -> dense FullyConnected with the same physical
+    energies: J materialized as a symmetric [N, N] matrix (int8 when the
+    integer couplings fit, preserving exactness via `scale`).
+
+    Why: XLA per-site neighbor gathers are HBM-bound (~7e7 flips/s on RRG
+    N=1e4), while the dense path rides the MXU — local fields become one
+    [B,N]x[N,N] matmul and, for N <= ~4096, the VMEM-resident Pallas SK
+    kernel applies (~1e10 flips/s). Composes with flatten(): e.g.
+    densify(flatten(GraphQuant(..., GraphEA(...)))) puts a wrapped model on
+    the dense kernel. Memory is O(N^2); intended for N up to a few 10^4."""
+    from .pairwise import Pairwise
+
+    assert isinstance(model, Pairwise), "densify requires a Pairwise model"
+    assert float(np.asarray(model.offset)) == 0.0, \
+        "constant energy offsets are not representable in FullyConnected"
+    n = model.N
+    neigh = np.asarray(model.neigh)
+    Jt = np.asarray(model.J)
+    dense = np.zeros((n, n), dtype=np.float64)
+    for i in range(n):
+        for k in range(neigh.shape[1]):
+            j = int(neigh[i, k])
+            if j < n:
+                dense[i, j] += float(Jt[i, k])
+    assert np.allclose(dense, dense.T), "adjacency must be symmetric"
+    np.fill_diagonal(dense, 0.0)
+    h = np.asarray(model.h)
+    if jnp.issubdtype(model.J.dtype, jnp.integer):
+        di = np.round(dense).astype(np.int64)
+        assert np.array_equal(di, dense)
+        dt = np.int8 if np.abs(di).max() <= 127 else np.int32
+        mm_bf16 = bool(dt == np.int8
+                       and np.abs(di).sum(axis=1).max() < (1 << 24))
+        return FullyConnected(J=jnp.asarray(di.astype(dt)),
+                              h=jnp.asarray(h, itype()), N=n,
+                              scale=model.scale, mm_bf16=mm_bf16)
+    return FullyConnected(J=jnp.asarray(dense * model.scale, ftype()),
+                          h=jnp.asarray(h * model.scale, ftype()), N=n)
 
 
 def make_fully_connected(J, h=None, *, scale: Optional[float] = None

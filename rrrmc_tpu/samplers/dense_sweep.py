@@ -89,9 +89,17 @@ def _run_dense_sweeps(J, beta_s, sigmaT, lfT, E, key, acc_count,
     return sigmaT, lfT, E, acc_count, E_series
 
 
+def _pallas_dense_eligible(model, chains: int) -> bool:
+    return (jnp.issubdtype(model.J.dtype, jnp.integer)
+            and model.N % 128 == 0
+            and chains % 128 == 0
+            and int(jnp.max(jnp.abs(model.J))) <= 127
+            and int(jnp.max(jnp.abs(model.h))) == 0)
+
+
 def sweepMC_dense(model: FullyConnected, beta: float, sweeps: int, *,
                   step: int = 1, chains: int = 1, seed: int = DEFAULT_SEED,
-                  C0=None, window: int = 128, backend: str = "xla",
+                  C0=None, window: int = 128, backend: str = "auto",
                   state: Optional[MCState] = None):
     """Sequential single-site Metropolis sweeps on a dense model; `sweeps`
     full sweeps of N attempted flips per chain. Returns
@@ -101,16 +109,20 @@ def sweepMC_dense(model: FullyConnected, beta: float, sweeps: int, *,
     backend="xla": random-permutation site order (reference-faithful random
     scan). backend="pallas": the VMEM-resident typewriter-scan kernel
     (ops/sk_pallas.py, ~1e10 flips/s/chip); requires N % 128 == 0; does not
-    update `accepted`."""
+    update `accepted`. "auto" picks pallas on an accelerator when eligible."""
     assert isinstance(model, FullyConnected), "requires a FullyConnected model"
     assert jnp.issubdtype(model.J.dtype, jnp.integer), \
         "dense sweep requires integer couplings (use GraphSK)"
     assert int(jnp.max(jnp.abs(model.J))) <= 127, "couplings must fit int8"
     N = model.N
     W = min(window, N)
-    assert N % W == 0, (N, W)
+    if N % W:  # largest divisor of N that fits the requested window
+        W = max(d for d in range(1, W + 1) if N % d == 0)
     if state is None:
         state = init_state(model, chains, seed, C0)
+    if backend == "auto":
+        backend = ("pallas" if jax.default_backend() != "cpu"
+                   and _pallas_dense_eligible(model, chains) else "xla")
     if backend == "pallas":
         return _sweep_dense_pallas(model, beta, sweeps, step, seed, state)
     assert backend == "xla", backend

@@ -59,6 +59,19 @@ def color_masks(model: Pairwise) -> jnp.ndarray:
     return jnp.asarray(np.stack([colors == c for c in range(ncol)]))
 
 
+def color_masks_dense(J: np.ndarray) -> jnp.ndarray:
+    """[C, N] masks from a dense coupling matrix's sparsity pattern."""
+    n = J.shape[0]
+    rows = [np.nonzero(J[i])[0] for i in range(n)]
+    kmax = max((len(r) for r in rows), default=0) or 1
+    neigh = np.full((n, kmax), n, dtype=np.int32)
+    for i, r in enumerate(rows):
+        neigh[i, : len(r)] = r
+    colors = greedy_coloring(neigh, n)
+    ncol = int(colors.max()) + 1
+    return jnp.asarray(np.stack([colors == c for c in range(ncol)]))
+
+
 def _sweep_once(model: Pairwise, beta, masks, sigma, aux, E, key):
     """One full sweep: N attempted flips (all color classes), single chain."""
     ncol = masks.shape[0]
@@ -137,7 +150,32 @@ def sweepMC(model: Pairwise, beta: float, sweeps: int, *, step: int = 1,
 
     backend: "auto" picks the Pallas VMEM-resident kernel for even-L
     integer-coupling LatticeEA models on TPU (~6x the XLA path), else the
-    generic XLA color-mask kernel; "xla" / "pallas" force a choice."""
+    generic XLA color-mask kernel; "xla" / "pallas" force a choice.
+
+    FullyConnected models route by structure: the VMEM-resident Pallas SK
+    kernel when eligible; a color-mask sweep with MXU-matmul local-field
+    recomputes when the dense J is sparse (few colors — densify()'d graphs);
+    else the delayed-update sequential scan (true dense models)."""
+    from ..models.dense import FullyConnected
+
+    if isinstance(model, FullyConnected):
+        from .dense_sweep import sweepMC_dense, _pallas_dense_eligible
+        if backend == "pallas" or (backend == "auto"
+                                   and jax.default_backend() != "cpu"
+                                   and _pallas_dense_eligible(model, chains)):
+            return sweepMC_dense(model, beta, sweeps, step=step,
+                                 chains=chains, seed=seed, C0=C0,
+                                 state=state, backend="pallas")
+        masks = color_masks_dense(np.asarray(model.J))
+        if masks.shape[0] > 32:  # genuinely dense: coloring degenerates
+            return sweepMC_dense(model, beta, sweeps, step=step,
+                                 chains=chains, seed=seed, C0=C0,
+                                 state=state, backend="xla")
+        if state is None:
+            state = init_state(model, chains, seed, C0)
+        state, series = _run_sweepmc(model, state, float(beta), masks,
+                                     sweeps // step, step)
+        return series_to_chain_major(series), state
     assert isinstance(model, Pairwise), "sweepMC requires a Pairwise model"
     if state is None:
         state = init_state(model, chains, seed, C0)
