@@ -39,11 +39,47 @@ from .prng import interpret_params, random_bits
 _INTERPRET = interpret_params()
 
 
+def _window_moves(Jw, sig_w, lf_w, rbits, beta_s, *, W):
+    """W fully unrolled sequential Metropolis decisions inside one window.
+    Returns (new sig rows [W, BT], flip deltas [W, BT], accepted-dE [1, BT]).
+    Exact: decision k sees the in-window correction from flips 0..k-1."""
+    new_rows = []
+    delta_rows = []
+    dE_w = jnp.zeros((1, rbits.shape[1]), jnp.int32)
+    for k in range(W):             # fully unrolled: static row indices
+        s_k = sig_w[k:k + 1, :]                       # [1, BT]
+        dE = 2 * s_k * lf_w[k:k + 1, :]               # int32
+        p = jnp.exp(-beta_s * dE.astype(jnp.float32))
+        th = jnp.clip(
+            p * jnp.float32(4294967296.0) - jnp.float32(2147483648.0),
+            jnp.float32(-2147483648.0),
+            jnp.float32(2147483520.0)).astype(jnp.int32)
+        acc = (dE <= 0) | (rbits[k:k + 1, :] < th)
+        d_k = jnp.where(acc, -2 * s_k, 0)             # [1, BT]
+        new_rows.append(jnp.where(acc, -s_k, s_k))
+        delta_rows.append(d_k)
+        lf_w = lf_w + Jw[:, k:k + 1] * d_k            # [W, BT]
+        dE_w = dE_w + jnp.where(acc, dE, 0)
+    return (jnp.concatenate(new_rows, axis=0),
+            jnp.concatenate(delta_rows, axis=0), dE_w)
+
+
+def _rank_w_update(Jrow, delta):
+    """lf += Jrow^T @ delta on the MXU, in bf16 (EXACT here: products are
+    int8 x {0,+-2} <= 508, f32 accumulation of integer partials < 2^24; v5e
+    executes int8 dots at f32 rate but bf16 at 4x)."""
+    return jax.lax.dot_general(
+        Jrow.astype(jnp.bfloat16), delta.astype(jnp.bfloat16),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.int32)
+
+
 def _sk_kernel(seed_ref, ns_ref, betas_ref, sigma_ref, lf_ref, J_ref,
                sigma_out, lf_out, dE_out, sig_s, lf_s, dE_s, *, N, W, BT):
-    """sig_s/lf_s/dE_s are VMEM scratch refs: Mosaic has no dynamic_slice on
-    loop-carried VALUES, so the sweep state lives in mutable scratch and
-    windows address it with ref-indexing (pl.ds)."""
+    """VMEM-resident variant: the whole [N, N] J lives in VMEM. sig_s/lf_s/
+    dE_s are VMEM scratch refs: Mosaic has no dynamic_slice on loop-carried
+    VALUES, so the sweep state lives in mutable scratch and windows address
+    it with ref-indexing (pl.ds)."""
     pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     salt0 = (seed_ref[0] + pl.program_id(0)) * jnp.int32(1000003)
     n_sweeps = ns_ref[0]
@@ -57,37 +93,12 @@ def _sk_kernel(seed_ref, ns_ref, betas_ref, sigma_ref, lf_ref, J_ref,
     def one_window(sw, w, _):
         base = pl.multiple_of(w * W, W)
         Jw = J_ref[pl.ds(base, W), pl.ds(base, W)].astype(jnp.int32)  # [W, W]
-        lf_w = lf_s[pl.ds(base, W), :]                                # [W, BT]
-        sig_w = sig_s[pl.ds(base, W), :]
         rbits = random_bits((W, BT), salt0 + sw * n_win + w)
-
-        new_rows = []
-        delta_rows = []
-        dE_w = jnp.zeros((1, BT), jnp.int32)
-        for k in range(W):         # fully unrolled: static row indices
-            s_k = sig_w[k:k + 1, :]                       # [1, BT]
-            dE = 2 * s_k * lf_w[k:k + 1, :]               # int32
-            p = jnp.exp(-beta_s * dE.astype(jnp.float32))
-            th = jnp.clip(
-                p * jnp.float32(4294967296.0) - jnp.float32(2147483648.0),
-                jnp.float32(-2147483648.0),
-                jnp.float32(2147483520.0)).astype(jnp.int32)
-            acc = (dE <= 0) | (rbits[k:k + 1, :] < th)
-            d_k = jnp.where(acc, -2 * s_k, 0)             # [1, BT]
-            new_rows.append(jnp.where(acc, -s_k, s_k))
-            delta_rows.append(d_k)
-            lf_w = lf_w + Jw[:, k:k + 1] * d_k            # [W, BT]
-            dE_w = dE_w + jnp.where(acc, dE, 0)
-
-        sig_s[pl.ds(base, W), :] = jnp.concatenate(new_rows, axis=0)
-        delta = jnp.concatenate(delta_rows, axis=0)       # [W, BT] i32
-        # rank-W local-field update on the MXU
-        upd = jax.lax.dot_general(
-            J_ref[pl.ds(base, W), :].astype(jnp.int8),
-            delta.astype(jnp.int8),
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)             # [N, BT]
-        lf_s[:] = lf_s[:] + upd
+        new_rows, delta, dE_w = _window_moves(
+            Jw, sig_s[pl.ds(base, W), :], lf_s[pl.ds(base, W), :],
+            rbits, beta_s, W=W)
+        sig_s[pl.ds(base, W), :] = new_rows
+        lf_s[:] = lf_s[:] + _rank_w_update(J_ref[pl.ds(base, W), :], delta)
         dE_s[:] = dE_s[:] + dE_w
         return 0
 
@@ -100,13 +111,77 @@ def _sk_kernel(seed_ref, ns_ref, betas_ref, sigma_ref, lf_ref, J_ref,
     dE_out[:] = dE_s[:]
 
 
-@partial(jax.jit, static_argnames=("W", "block_chains"))
-def _pallas_sk(sigma, lfT, E, J8, seed, n_sweeps, beta_s, *, W, block_chains):
+def _sk_kernel_hbm(seed_ref, ns_ref, betas_ref, sigma_ref, lf_ref, J_hbm,
+                   sigma_out, lf_out, dE_out, sig_s, lf_s, dE_s, jbuf, sem,
+                   *, N, W, BT):
+    """HBM-streamed variant for large N (J does not fit VMEM): the [W, N]
+    coupling row block of each window is DMA'd into a double-buffered VMEM
+    scratch while the previous window computes. Same move semantics as the
+    VMEM kernel (one shared window body)."""
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    salt0 = (seed_ref[0] + pl.program_id(0)) * jnp.int32(1000003)
+    n_sweeps = ns_ref[0]
+    beta_s = betas_ref[0]
+    n_win = N // W
+    total = n_sweeps * n_win
+
+    sig_s[:] = sigma_ref[:].astype(jnp.int32)
+    lf_s[:] = lf_ref[:]
+    dE_s[:] = jnp.zeros((1, BT), jnp.int32)
+
+    def j_dma(slot, w):
+        return pltpu.make_async_copy(
+            J_hbm.at[pl.ds(w * W, W), :], jbuf.at[slot], sem.at[slot])
+
+    j_dma(0, 0).start()
+
+    def step(g, _):
+        w = g % n_win
+        slot = g % 2
+
+        @pl.when(g + 1 < total)
+        def _():
+            j_dma((g + 1) % 2, (g + 1) % n_win).start()
+
+        j_dma(slot, w).wait()
+        base = pl.multiple_of(w * W, W)
+        Jrow = jbuf[slot]                                 # [W, N] int8
+        Jw = jbuf[slot, :, pl.ds(base, W)].astype(jnp.int32)   # [W, W]
+        rbits = random_bits((W, BT), salt0 + g)
+        new_rows, delta, dE_w = _window_moves(
+            Jw, sig_s[pl.ds(base, W), :], lf_s[pl.ds(base, W), :],
+            rbits, beta_s, W=W)
+        sig_s[pl.ds(base, W), :] = new_rows
+        lf_s[:] = lf_s[:] + _rank_w_update(Jrow, delta)
+        dE_s[:] = dE_s[:] + dE_w
+        return 0
+
+    jax.lax.fori_loop(0, total, step, 0)
+    sigma_out[:] = sig_s[:].astype(jnp.int8)
+    lf_out[:] = lf_s[:]
+    dE_out[:] = dE_s[:]
+
+
+@partial(jax.jit, static_argnames=("W", "block_chains", "stream_j"))
+def _pallas_sk(sigma, lfT, E, J8, seed, n_sweeps, beta_s, *, W, block_chains,
+               stream_j=False):
     sigmaT = sigma.T
     N, B = sigmaT.shape
     BT = block_chains
     grid = (B // BT,)
-    kernel = partial(_sk_kernel, N=N, W=W, BT=BT)
+    scratch = [
+        pltpu.VMEM((N, BT), jnp.int32),   # sig_s
+        pltpu.VMEM((N, BT), jnp.int32),   # lf_s
+        pltpu.VMEM((1, BT), jnp.int32),   # dE_s
+    ]
+    if stream_j:
+        kernel = partial(_sk_kernel_hbm, N=N, W=W, BT=BT)
+        j_space = pltpu.ANY                # stays in HBM; windows DMA'd
+        scratch += [pltpu.VMEM((2, W, N), jnp.int8),   # jbuf (double buffer)
+                    pltpu.SemaphoreType.DMA((2,))]
+    else:
+        kernel = partial(_sk_kernel, N=N, W=W, BT=BT)
+        j_space = pltpu.VMEM
     sig_out, lf_out, dE = pl.pallas_call(
         kernel,
         grid=grid,
@@ -116,7 +191,7 @@ def _pallas_sk(sigma, lfT, E, J8, seed, n_sweeps, beta_s, *, W, block_chains):
             pl.BlockSpec(memory_space=pltpu.SMEM),   # beta_s
             pl.BlockSpec((N, BT), lambda j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((N, BT), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # J [N, N] int8
+            pl.BlockSpec(memory_space=j_space),      # J [N, N] int8
         ],
         out_specs=[
             pl.BlockSpec((N, BT), lambda j: (0, j), memory_space=pltpu.VMEM),
@@ -128,11 +203,7 @@ def _pallas_sk(sigma, lfT, E, J8, seed, n_sweeps, beta_s, *, W, block_chains):
             jax.ShapeDtypeStruct((N, B), jnp.int32),
             jax.ShapeDtypeStruct((1, B), jnp.int32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((N, BT), jnp.int32),   # sig_s
-            pltpu.VMEM((N, BT), jnp.int32),   # lf_s
-            pltpu.VMEM((1, BT), jnp.int32),   # dE_s
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_INTERPRET,
@@ -144,8 +215,13 @@ class PallasSKSweeper:
     """Reusable dense-sweep runner; holds J on device, tracks lf across
     calls."""
 
+    #: J byte size above which the HBM-streamed kernel is used (the VMEM
+    #: variant needs the whole [N, N] int8 J resident; ~24 MB leaves room
+    #: for state at wide chain blocks on a 128 MB-VMEM v5e)
+    STREAM_THRESHOLD = 24 * 1024 * 1024
+
     def __init__(self, model, beta: float, *, window: int = 128,
-                 block_chains: int = 0):
+                 block_chains: int = 0, stream_j=None):
         from ..models.dense import FullyConnected
 
         assert isinstance(model, FullyConnected)
@@ -157,27 +233,55 @@ class PallasSKSweeper:
         from .prng import interpret_mode
         assert window % 128 == 0 or interpret_mode(), \
             "window must be a multiple of 128 (lane-axis slice granularity)"
-        assert model.N % window == 0, (model.N, window)
         self.model = model
-        self.J8 = model.J.astype(jnp.int8)
+        self.N = model.N
+        # pad to a window multiple with zero-coupled free spins: they flip
+        # unconditionally (dE = 0) but contribute nothing to any energy, so
+        # the chain law on the real N spins is unchanged
+        self.Np = -(-model.N // window) * window
+        J8 = model.J.astype(jnp.int8)
+        if self.Np != model.N:
+            pad = self.Np - model.N
+            J8 = jnp.pad(J8, ((0, pad), (0, pad)))
+        self.J8 = J8
         self.beta_s = jnp.asarray([beta * model.scale], jnp.float32)
         self.W = window
         self.block_chains = block_chains
+        self.stream_j = (self.Np * self.Np > self.STREAM_THRESHOLD
+                         if stream_j is None else bool(stream_j))
 
     def __call__(self, sigma, E, *, seed: int, n_sweeps: int, lfT=None):
         """sigma [B, N] int8, E [B] int32. Returns (sigma', E', lfT') — pass
-        lfT back in for warm continuation (else recomputed)."""
+        lfT back in for warm continuation (else recomputed). lfT is in the
+        PADDED [Np, B] layout when N is not a multiple of the window."""
         B, N = sigma.shape
+        assert N == self.N, (N, self.N)
         bt = self.block_chains
         if not bt:  # auto: widest lane block <= 512 that tiles B (measured
-            # peak at BT=512 on v5e; per-row ops widen with BT)
-            bt = next((c for c in (512, 384, 256, 128) if B % c == 0), 0)
-            assert bt, f"chain count {B} must be a multiple of 128"
+            # peak at BT=512 on v5e; per-row ops widen with BT) AND fits
+            # VMEM: in/out windows are double-buffered by the pipeline, so
+            # the footprint is ~28 * Np * BT bytes (sig in/out 2x1B + lf
+            # in/out 2x4B + sig_s/lf_s scratch) + the J buffers
+            budget = 100 * 1024 * 1024 - 2 * self.W * self.Np
+            bt = next((c for c in (512, 384, 256, 128)
+                       if B % c == 0 and 28 * self.Np * c <= budget), 0)
+            assert bt, f"chain count {B} must be a multiple of 128 " \
+                       f"(and fit VMEM at N={self.Np})"
         assert B % bt == 0
         if lfT is None:
             lfT = jax.jit(lambda s: jax.vmap(self.model.local_fields)(s)
                           .T.astype(jnp.int32))(sigma)
-        return _pallas_sk(sigma, lfT, E, self.J8,
-                          jnp.asarray([seed], jnp.int32),
-                          jnp.asarray([n_sweeps], jnp.int32), self.beta_s,
-                          W=self.W, block_chains=bt)
+        if self.Np != N:
+            pad = self.Np - N
+            sigma = jnp.pad(sigma, ((0, 0), (0, pad)), constant_values=1)
+            if lfT.shape[0] == N:
+                lfT = jnp.pad(lfT, ((0, pad), (0, 0)))
+        sig, E, lfT = _pallas_sk(sigma, lfT, E, self.J8,
+                                 jnp.asarray([seed], jnp.int32),
+                                 jnp.asarray([n_sweeps], jnp.int32),
+                                 self.beta_s,
+                                 W=self.W, block_chains=bt,
+                                 stream_j=self.stream_j)
+        if self.Np != N:
+            sig = sig[:, :N]
+        return sig, E, lfT

@@ -166,7 +166,7 @@ class PallasSweeper:
     """Reusable pallas-sweep runner: builds the direction tables once and
     keeps them on device; each call is a single jitted dispatch."""
 
-    def __init__(self, model, beta: float, block_chains: int = 128):
+    def __init__(self, model, beta: float, block_chains: int = 0):
         from ..models.lattice import LatticeEA
 
         assert isinstance(model, LatticeEA), "pallas sweep requires LatticeEA"
@@ -184,18 +184,30 @@ class PallasSweeper:
 
     def __call__(self, sigma, E, *, seed: int, n_sweeps: int):
         """sigma [B, N] int8, E [B] int32 -> (sigma', E'), exact int32 E
-        tracking. B must be a multiple of block_chains (chains on lanes)."""
+        tracking. B must be a multiple of block_chains (chains on lanes);
+        block_chains=0 auto-picks the widest of 512/384/256/128 that tiles B
+        and fits VMEM (BT=512 measured 5.0e10 vs 3.4e10 at 128 on the
+        EA-3D L=16 benchmark; >=1024 fails to compile)."""
         B, N = sigma.shape
-        assert B % self.block_chains == 0, (B, self.block_chains)
+        bt = self.block_chains
+        if not bt:
+            # footprint ~ 2x double-buffered int8 sigma windows in+out
+            # + the in-kernel int32 sig + int32 lf temporaries
+            budget = 100 * 1024 * 1024
+            bt = next((c for c in (512, 384, 256, 128)
+                       if B % c == 0 and 20 * N * c <= budget), 0)
+            assert bt, f"chain count {B} must be a multiple of 128 " \
+                       f"(and fit VMEM at N={N})"
+        assert B % bt == 0, (B, bt)
         return _pallas_sweep(sigma, E, self.Jp, self.Jm,
                              jnp.asarray([seed], jnp.int32),
                              jnp.asarray([n_sweeps], jnp.int32), self.beta2s,
                              L=self.L, D=self.D,
-                             block_chains=self.block_chains)
+                             block_chains=bt)
 
 
 def sweep_ea_pallas(model, beta: float, sigma, E, *, seed: int,
-                    n_sweeps: int, block_chains: int = 128):
+                    n_sweeps: int, block_chains: int = 0):
     """One-shot convenience wrapper around PallasSweeper."""
     return PallasSweeper(model, beta, block_chains)(
         sigma, E, seed=seed, n_sweeps=n_sweeps)

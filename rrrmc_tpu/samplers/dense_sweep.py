@@ -91,7 +91,6 @@ def _run_dense_sweeps(J, beta_s, sigmaT, lfT, E, key, acc_count,
 
 def _pallas_dense_eligible(model, chains: int) -> bool:
     return (jnp.issubdtype(model.J.dtype, jnp.integer)
-            and model.N % 128 == 0
             and chains % 128 == 0
             and int(jnp.max(jnp.abs(model.J))) <= 127
             and int(jnp.max(jnp.abs(model.h))) == 0)
@@ -107,9 +106,10 @@ def sweepMC_dense(model: FullyConnected, beta: float, sweeps: int, *,
     (exact int32 energies); N must be a multiple of `window`.
 
     backend="xla": random-permutation site order (reference-faithful random
-    scan). backend="pallas": the VMEM-resident typewriter-scan kernel
-    (ops/sk_pallas.py, ~1e10 flips/s/chip); requires N % 128 == 0; does not
-    update `accepted`. "auto" picks pallas on an accelerator when eligible."""
+    scan). backend="pallas": the typewriter-scan Pallas kernel
+    (ops/sk_pallas.py, ~1e10 flips/s/chip; J VMEM-resident or HBM-streamed
+    by size, N padded to the window internally); does not update `accepted`.
+    "auto" picks pallas on an accelerator when eligible."""
     assert isinstance(model, FullyConnected), "requires a FullyConnected model"
     assert jnp.issubdtype(model.J.dtype, jnp.integer), \
         "dense sweep requires integer couplings (use GraphSK)"
@@ -160,6 +160,7 @@ def _sweep_dense_pallas(model, beta, sweeps, step, seed, state):
         sigma, E, lfT = sw(sigma, E, seed=(seed * 1000003 + n_ckpt) % (2 ** 31),
                            n_sweeps=sweeps % step, lfT=lfT)
     E_series = jnp.stack(Es) if Es else jnp.zeros((0, sigma.shape[0]), E.dtype)
-    state = MCState(sigma=sigma, aux=lfT.T.astype(state.aux.dtype),
+    state = MCState(sigma=sigma,
+                    aux=lfT[: model.N].T.astype(state.aux.dtype),
                     E=E, key=state.key, accepted=state.accepted)
     return series_to_chain_major(jax.vmap(model.to_physical)(E_series)), state

@@ -85,8 +85,9 @@ def _sweep_once(model: Pairwise, beta, masks, sigma, aux, E, key):
         u = jax.random.uniform(ku, (model.N,), ft)
         acc = mask & ((x >= 0) | (u < jnp.exp(jnp.minimum(x, 0.0))))
         sigma = jnp.where(acc, -sigma, sigma)
-        E = E + jnp.sum(jnp.where(acc, dE, jnp.zeros_like(dE)))
-        aux = model.local_fields(sigma)
+        E = E + jnp.sum(jnp.where(acc, dE, jnp.zeros_like(dE)),
+                        dtype=E.dtype)  # x64 must not widen the carry
+        aux = model.local_fields(sigma).astype(aux.dtype)
         return (sigma, aux, E, key), None
 
     (sigma, aux, E, key), _ = jax.lax.scan(

@@ -44,6 +44,30 @@ def test_sk_pallas_invariants_multiwindow(sk_interp):
     np.testing.assert_array_equal(np.asarray(E_re), np.asarray(E))
 
 
+def test_sk_pallas_streamed_and_padded(sk_interp):
+    """HBM-streamed J variant (double-buffered window DMA) + padding of N to
+    a window multiple with zero-coupled free spins: exact invariants and
+    warm continuation (the padded lfT round-trips)."""
+    m = rt.GraphSK(200, seed=1)          # pads to Np=256 at W=128
+    sw = sk_interp.PallasSKSweeper(m, 1.2, window=128, block_chains=128,
+                                   stream_j=True)
+    st = rt.init_state(m, 128, seed=3)
+    sig, E, lfT = sw(st.sigma, st.E.astype(jnp.int32), seed=11, n_sweeps=4)
+    assert lfT.shape[0] == 256
+    E_re = jax.jit(jax.vmap(m.energy))(sig)
+    np.testing.assert_array_equal(np.asarray(E_re), np.asarray(E))
+    sig, E, lfT = sw(sig, E, seed=12, n_sweeps=4, lfT=lfT)
+    E_re = jax.jit(jax.vmap(m.energy))(sig)
+    np.testing.assert_array_equal(np.asarray(E_re), np.asarray(E))
+    # streamed and VMEM variants draw the same bits -> identical trajectories
+    sw2 = sk_interp.PallasSKSweeper(m, 1.2, window=128, block_chains=128,
+                                    stream_j=False)
+    a, Ea, _ = sw(st.sigma, st.E.astype(jnp.int32), seed=5, n_sweeps=3)
+    b, Eb, _ = sw2(st.sigma, st.E.astype(jnp.int32), seed=5, n_sweeps=3)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(Ea), np.asarray(Eb))
+
+
 def test_sweepmc_dense_pallas_backend(sk_interp):
     """Public sweepMC_dense(backend='pallas') path: checkpoint series shape,
     exact invariant, warm lf continuation across checkpoints."""
