@@ -33,14 +33,16 @@ def main():
     state = rt.init_state(X, B, seed=1)
     # compile + thermalize
     sigma, E = sweeper(state.sigma, state.E, seed=7, n_sweeps=10)
-    sigma.block_until_ready()
+    np.asarray(E)
 
     best = 0.0
     sweeps = 1000
     for rep in range(3):
         t0 = time.time()
         sigma, E = sweeper(sigma, E, seed=100 + rep, n_sweeps=sweeps)
-        sigma.block_until_ready()
+        # block_until_ready does NOT block on the axon remote backend;
+        # force a host materialization for a true sync
+        np.asarray(E)
         dt = time.time() - t0
         best = max(best, B * X.N * sweeps / dt)
     state = rt.MCState(sigma=sigma, aux=state.aux, E=E, key=state.key,

@@ -59,7 +59,7 @@ from .samplers.rrr import rrrMC
 from .samplers.bkl import bklMC
 from .samplers.wtm import wtmMC
 from .samplers.eo import extremal_opt, EOResult
-from .samplers.common import MCState, init_state, DEFAULT_SEED
+from .samplers.common import MCState, init_state, rebind, DEFAULT_SEED
 from . import observables
 from . import analysis
 from . import experiments

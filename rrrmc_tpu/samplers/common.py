@@ -51,6 +51,23 @@ def init_state(model: Model, chains: int, seed: int, C0=None) -> MCState:
                    accepted=jnp.zeros(chains, jnp.int32))
 
 
+def rebind(model: Model, state: MCState) -> MCState:
+    """Re-derive the aux cache and exact energies of `state.sigma` under a
+    (re-parameterized) model, keeping spins, RNG keys, and counters.
+
+    This is the annealing warm-start: the reference rebuilds a graph with a
+    new coupling from an old one (GraphQT(X, newK) /root/reference/src/
+    graphs/QT.jl:66, GraphRE(X, newgamma) RE.jl:58, GraphLE LE.jl:43,
+    GraphTLE TLE.jl:67, GraphPercXEntr PercXEntr.jl:87) and passes C0 to the
+    next sampler call. Here: build the new model with its constructor, then
+    `state = rebind(new_model, state)` — unlike C0=, the per-chain RNG
+    streams continue uninterrupted."""
+    aux = jax.jit(jax.vmap(model.init_aux))(state.sigma)
+    E = jax.jit(jax.vmap(model.energy))(state.sigma)
+    return MCState(sigma=state.sigma, aux=aux, E=E, key=state.key,
+                   accepted=state.accepted)
+
+
 def default_observer(model: Model, sigma, aux, E):
     """Per-checkpoint observable: physical energy."""
     return model.to_physical(E)

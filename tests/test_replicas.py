@@ -168,3 +168,31 @@ def test_fourK_formula():
     fourK = rt.four_K(beta, Gamma, M)
     expect = 2.0 / beta * math.log(1.0 / math.tanh(beta * Gamma / M))
     assert abs(fourK - expect) < 1e-8
+
+
+def test_annealing_rebind():
+    """Annealing protocol via rebind (the reference's re-parameterize
+    constructors + C0 warm starts, QT.jl:66): step Gamma down, rebuild the
+    wrapper, rebind the state — spins and RNG keys carry over, aux/E are
+    re-derived exactly under the new coupling."""
+    import rrrmc_tpu as rt
+
+    base = rt.GraphSK(16, seed=3)
+    state = None
+    for Gamma in (2.0, 1.0, 0.5):
+        m = rt.GraphQuant(16, 4, Gamma=Gamma, beta=1.0, base=base)
+        if state is None:
+            state = rt.init_state(m, 8, seed=5)
+        else:
+            prev_sigma, prev_key = state.sigma, state.key
+            state = rt.rebind(m, state)
+            np.testing.assert_array_equal(np.asarray(state.sigma),
+                                          np.asarray(prev_sigma))
+            assert np.array_equal(
+                np.asarray(jax.random.key_data(state.key)),
+                np.asarray(jax.random.key_data(prev_key)))
+        Es, state = rt.standardMC(m, 1.0, iters=500, step=100, chains=8,
+                                  state=state)
+        E_re = jax.jit(jax.vmap(m.energy))(state.sigma)
+        np.testing.assert_allclose(np.asarray(E_re), np.asarray(state.E),
+                                   atol=1e-9)
