@@ -54,10 +54,33 @@ def runtest(sampler: Callable, model, beta: float, iters: int, *,
     }
 
 
+def runtest_wtm(model, beta: float, samples: int, *, chains: int = 64,
+                step: float = 1.0, seed: int = 167) -> Dict:
+    """WTM timing in nominal-Metropolis-iteration units: one unit of WTM
+    global time corresponds to N attempted Metropolis flips (the reference's
+    wtm factors absorb exactly this time compression, scripts.jl:37)."""
+    import rrrmc_tpu as rt
+
+    t0 = time.time()
+    Es, state = rt.wtmMC(model, beta, samples, step=step, chains=chains,
+                         seed=seed)
+    np.asarray(state.E)
+    t_cold = time.time() - t0
+    t0 = time.time()
+    Es, state = rt.wtmMC(model, beta, samples, step=step, chains=chains,
+                         seed=seed)
+    np.asarray(state.E)
+    t_warm = time.time() - t0
+    nominal_iters = model.N * (step / model.N) * samples  # = step * samples
+    return {"sampler": "wtmMC", "wall_cold_s": t_cold, "wall_warm_s": t_warm,
+            "iters_per_s": nominal_iters / t_warm,
+            "E_per_spin": float(np.asarray(Es)[:, -1].mean() / model.N)}
+
+
 def equal_wallclock_factors(model, beta: float, *, iters: int = 20_000,
                             chains: int = 64, seed: int = 167,
-                            samplers: Optional[Dict[str, Callable]] = None
-                            ) -> Dict[str, float]:
+                            samplers: Optional[Dict[str, Callable]] = None,
+                            include_wtm: bool = True) -> Dict[str, float]:
     """Per-iteration speed of each sampler relative to rrrMC — the reference's
     `*_factor` alignment constants (scripts.jl:30-37: Met 3.7-4.5x, BKL
     95-6083x effective, WTM 53-3375x on RRG N=1e4). Factor > 1 means that
@@ -71,6 +94,12 @@ def equal_wallclock_factors(model, beta: float, *, iters: int = 20_000,
     for name, fn in samplers.items():
         r = runtest(fn, model, beta, iters, chains=chains, seed=seed)
         rates[name] = r["iters_per_s"]
+    if include_wtm:
+        # match nominal length: samples * step = iters
+        samples = max(10, iters // model.N)
+        r = runtest_wtm(model, beta, samples, chains=chains,
+                        step=iters / samples, seed=seed)
+        rates["wtm"] = r["iters_per_s"]
     base = rates.get("rrr")
     return {name: rate / base for name, rate in rates.items()}
 

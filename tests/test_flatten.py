@@ -58,6 +58,23 @@ def test_flatten_rejects_nonpairwise():
         flatten(rt.GraphSK(8, seed=1))
 
 
+def test_flatten_densify_sweep_equilibrium():
+    """The full transformer chain — sweepMC over densify(flatten(wrapper)) —
+    must reach the wrapper's equilibrium (validated against rrrMC on the
+    original Double model)."""
+    base = rt.GraphEA(4, 2, (-1, 1), seed=21)
+    m = rt.GraphQuant(16, 4, Gamma=0.4, beta=1.2, base=base)
+    d = rt.densify(rt.flatten(m))
+    Es_s, st_s = rt.sweepMC(d, 1.2, sweeps=3000, step=100, chains=32, seed=5)
+    E_re = jax.vmap(d.energy)(st_s.sigma)
+    np.testing.assert_allclose(np.asarray(E_re), np.asarray(st_s.E),
+                               atol=1e-6)
+    Es_r, _ = rt.rrrMC(m, 1.2, iters=60_000, step=2000, chains=16, seed=6)
+    a = np.asarray(Es_s)[:, 10:].mean()
+    b = np.asarray(Es_r)[:, 15:].mean()
+    assert abs(a - b) < 1.0, (a, b)
+
+
 def test_flatten_samples_same_equilibrium():
     """bklMC on the flat model reaches the wrapper model's equilibrium
     energy (same Hamiltonian, independent RNG streams)."""
