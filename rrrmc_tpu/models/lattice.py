@@ -52,7 +52,13 @@ class LatticeEA(Pairwise):
         return lf.reshape(self.N) + self.h
 
     def sweep_masks(self):
-        """Exact checkerboard 2-coloring (even L)."""
+        """Exact checkerboard 2-coloring for even L. Odd L is NOT bipartite
+        (periodic wraparound joins same-parity sites), so it falls back to
+        the generic greedy coloring — parity masks there would flip coupled
+        neighbors simultaneously and break the chain law."""
+        if self.L % 2:
+            from ..samplers.sweep import color_masks
+            return color_masks(self)
         coords = np.indices(self.lat_shape).sum(axis=0).reshape(self.N)
         par = coords % 2 == 0
         return jnp.asarray(np.stack([par, ~par]))

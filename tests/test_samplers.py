@@ -179,3 +179,29 @@ def test_bkl_checkpoint_semantics():
     assert np.all(np.isfinite(Es))
     tail = Es[:, -50:]
     assert np.all(np.abs(tail - tail.mean(axis=1, keepdims=True)) < 4.001)
+
+
+def test_odd_L_sweep_masks_are_independent_sets():
+    """Odd-L periodic lattices are not bipartite: parity masks would flip
+    coupled neighbors simultaneously. sweep_masks must return valid
+    independent sets for every L, and sweepMC must match standardMC's
+    equilibrium."""
+    import numpy as np
+    import rrrmc_tpu as rt
+
+    X = rt.GraphEA(5, 2, (-1, 1), seed=3)   # L=5 odd, N=25
+    masks = np.asarray(X.sweep_masks())
+    neigh = np.asarray(X.neigh)
+    for mask in masks:
+        for i in np.nonzero(mask)[0]:
+            for j in neigh[i]:
+                if j < X.N:
+                    assert not mask[j], (i, j)
+    Es_s, st = rt.sweepMC(X, 1.5, sweeps=4000, step=200, chains=32, seed=1)
+    E_re = jax.jit(jax.vmap(X.energy))(st.sigma)
+    np.testing.assert_array_equal(np.asarray(E_re), np.asarray(st.E))
+    Es_m, _ = rt.standardMC(X, 1.5, iters=60_000, step=4000, chains=32,
+                            seed=2)
+    a = np.asarray(Es_s)[:, 5:].mean()
+    b = np.asarray(Es_m)[:, 5:].mean()
+    assert abs(a - b) < 1.2, (a, b)
