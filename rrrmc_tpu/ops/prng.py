@@ -20,6 +20,20 @@ import jax.numpy as jnp
 from jax.experimental.pallas import tpu as pltpu
 
 
+#: Knuth multiplicative constant as int32 — program seeds are spread as
+#: seed * GOLD + program_id so that sequential user seeds (seed, seed+1, ...)
+#: can never alias another call's (seed, program_id±k) stream (a stride-1
+#: seed schedule otherwise replays a neighboring chain block's bits).
+GOLD = -1640531527  # 0x9E3779B9 as signed int32
+
+
+def program_seed(seed_scalar, program_id):
+    """Decorrelated per-core PRNG seed for pltpu.prng_seed."""
+    import jax.numpy as jnp
+
+    return seed_scalar * jnp.int32(GOLD) + program_id
+
+
 def interpret_mode() -> bool:
     return bool(int(os.environ.get("RRRMC_PALLAS_INTERPRET", "0")))
 

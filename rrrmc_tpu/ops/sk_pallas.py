@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .prng import interpret_params, random_bits
+from .prng import interpret_params, program_seed, random_bits
 
 _INTERPRET = interpret_params()
 
@@ -80,8 +80,9 @@ def _sk_kernel(seed_ref, ns_ref, betas_ref, sigma_ref, lf_ref, J_ref,
     dE_s are VMEM scratch refs: Mosaic has no dynamic_slice on loop-carried
     VALUES, so the sweep state lives in mutable scratch and windows address
     it with ref-indexing (pl.ds)."""
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-    salt0 = (seed_ref[0] + pl.program_id(0)) * jnp.int32(1000003)
+    seed_p = program_seed(seed_ref[0], pl.program_id(0))
+    pltpu.prng_seed(seed_p)
+    salt0 = seed_p * jnp.int32(1000003)
     n_sweeps = ns_ref[0]
     beta_s = betas_ref[0]          # beta * physical scale (f32)
     n_win = N // W
@@ -118,8 +119,9 @@ def _sk_kernel_hbm(seed_ref, ns_ref, betas_ref, sigma_ref, lf_ref, J_hbm,
     coupling row block of each window is DMA'd into a double-buffered VMEM
     scratch while the previous window computes. Same move semantics as the
     VMEM kernel (one shared window body)."""
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-    salt0 = (seed_ref[0] + pl.program_id(0)) * jnp.int32(1000003)
+    seed_p = program_seed(seed_ref[0], pl.program_id(0))
+    pltpu.prng_seed(seed_p)
+    salt0 = seed_p * jnp.int32(1000003)
     n_sweeps = ns_ref[0]
     beta_s = betas_ref[0]
     n_win = N // W
@@ -257,16 +259,13 @@ class PallasSKSweeper:
         B, N = sigma.shape
         assert N == self.N, (N, self.N)
         bt = self.block_chains
-        if not bt:  # auto: widest lane block <= 512 that tiles B (measured
-            # peak at BT=512 on v5e; per-row ops widen with BT) AND fits
-            # VMEM: in/out windows are double-buffered by the pipeline, so
-            # the footprint is ~28 * Np * BT bytes (sig in/out 2x1B + lf
-            # in/out 2x4B + sig_s/lf_s scratch) + the J buffers
-            budget = 100 * 1024 * 1024 - 2 * self.W * self.Np
-            bt = next((c for c in (512, 384, 256, 128)
-                       if B % c == 0 and 28 * self.Np * c <= budget), 0)
-            assert bt, f"chain count {B} must be a multiple of 128 " \
-                       f"(and fit VMEM at N={self.Np})"
+        if not bt:
+            # footprint ~28 B/chain/site: sig in/out 2x1B + lf in/out 2x4B
+            # (pipeline double-buffers windows) + sig_s/lf_s scratch; J
+            # buffers come off the top of the budget
+            from .tiling import VMEM_BUDGET, auto_block_chains
+            bt = auto_block_chains(B, 28 * self.Np,
+                                   budget=VMEM_BUDGET - 2 * self.W * self.Np)
         assert B % bt == 0
         if lfT is None:
             lfT = jax.jit(lambda s: jax.vmap(self.model.local_fields)(s)

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .prng import interpret_params, random_bits
+from .prng import interpret_params, program_seed, random_bits
 
 #: set RRRMC_PALLAS_INTERPRET=1 to run the kernel in the TPU interpreter
 #: (CPU-testable; used by the test suite). The interpreter's
@@ -62,8 +62,9 @@ def _build_dir_tables(model):
 def _sweep_kernel(seed_ref, ns_ref, beta2s_ref, sigma_ref, jp_ref, jm_ref,
                   sigma_out, dE_out, *, L, D, BT):
     N = L ** D
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-    salt0 = (seed_ref[0] + pl.program_id(0)) * jnp.int32(1000003)
+    seed_p = program_seed(seed_ref[0], pl.program_id(0))
+    pltpu.prng_seed(seed_p)
+    salt0 = seed_p * jnp.int32(1000003)
     n_sweeps = ns_ref[0]    # dynamic trip count: one compile for any length
     beta2s = beta2s_ref[0]  # beta * 2 * physical scale (f32)
 
@@ -191,13 +192,10 @@ class PallasSweeper:
         B, N = sigma.shape
         bt = self.block_chains
         if not bt:
-            # footprint ~ 2x double-buffered int8 sigma windows in+out
+            # ~20 B/chain/site: double-buffered int8 sigma windows in+out
             # + the in-kernel int32 sig + int32 lf temporaries
-            budget = 100 * 1024 * 1024
-            bt = next((c for c in (512, 384, 256, 128)
-                       if B % c == 0 and 20 * N * c <= budget), 0)
-            assert bt, f"chain count {B} must be a multiple of 128 " \
-                       f"(and fit VMEM at N={N})"
+            from .tiling import auto_block_chains
+            bt = auto_block_chains(B, 20 * N)
         assert B % bt == 0, (B, bt)
         return _pallas_sweep(sigma, E, self.Jp, self.Jm,
                              jnp.asarray([seed], jnp.int32),

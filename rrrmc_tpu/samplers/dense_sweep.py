@@ -68,8 +68,10 @@ def _run_dense_sweeps(J, beta_s, sigmaT, lfT, E, key, acc_count,
             (jnp.arange(W), Jw, u, sig_w))
         sigmaT = sigmaT.at[rows].set(sig_new)
         # rank-W local-field update on the MXU: lf += J[:, rows] @ delta
+        # (int8 operands when J fits — delta is {0, +-2}; int32 otherwise)
+        mm_dt = jnp.int8 if J.dtype == jnp.int8 else jnp.int32
         upd = jax.lax.dot_general(
-            J[rows].astype(jnp.int8), delta.astype(jnp.int8),
+            J[rows].astype(mm_dt), delta.astype(mm_dt),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)        # [N, B]
         lfT = lfT + upd
@@ -89,11 +91,42 @@ def _run_dense_sweeps(J, beta_s, sigmaT, lfT, E, key, acc_count,
     return sigmaT, lfT, E, acc_count, E_series
 
 
+#: per-model cache: eager max-reductions on J/h and PallasSKSweeper
+#: instances are expensive on remote backends (~0.1-1s per eager op), so
+#: they are computed once per model. Keyed by id(model.J) with the array
+#: itself held to prevent id reuse.
+_MODEL_CACHE: dict = {}
+
+
+def _model_meta(model) -> dict:
+    key = id(model.J)
+    ent = _MODEL_CACHE.get(key)
+    if ent is None or ent["J"] is not model.J:
+        ent = {"J": model.J,
+               "j_max": int(jnp.max(jnp.abs(model.J))),
+               "h_max": int(jnp.max(jnp.abs(model.h))),
+               "sweepers": {}}
+        _MODEL_CACHE[key] = ent
+    return ent
+
+
+def _cached_sweeper(model, beta: float):
+    from ..ops.sk_pallas import PallasSKSweeper
+
+    ent = _model_meta(model)
+    sw = ent["sweepers"].get(beta)
+    if sw is None:
+        sw = PallasSKSweeper(model, beta)
+        ent["sweepers"][beta] = sw
+    return sw
+
+
 def _pallas_dense_eligible(model, chains: int) -> bool:
+    meta = _model_meta(model)
     return (jnp.issubdtype(model.J.dtype, jnp.integer)
             and chains % 128 == 0
-            and int(jnp.max(jnp.abs(model.J))) <= 127
-            and int(jnp.max(jnp.abs(model.h))) == 0)
+            and meta["j_max"] <= 127
+            and meta["h_max"] == 0)
 
 
 def sweepMC_dense(model: FullyConnected, beta: float, sweeps: int, *,
@@ -113,7 +146,6 @@ def sweepMC_dense(model: FullyConnected, beta: float, sweeps: int, *,
     assert isinstance(model, FullyConnected), "requires a FullyConnected model"
     assert jnp.issubdtype(model.J.dtype, jnp.integer), \
         "dense sweep requires integer couplings (use GraphSK)"
-    assert int(jnp.max(jnp.abs(model.J))) <= 127, "couplings must fit int8"
     N = model.N
     W = min(window, N)
     if N % W:  # largest divisor of N that fits the requested window
@@ -127,7 +159,8 @@ def sweepMC_dense(model: FullyConnected, beta: float, sweeps: int, *,
         return _sweep_dense_pallas(model, beta, sweeps, step, seed, state)
     assert backend == "xla", backend
     beta_s = jnp.asarray(2.0 * beta * model.scale, ftype())
-    J8 = model.J.astype(jnp.int8)
+    J8 = (model.J.astype(jnp.int8) if _model_meta(model)["j_max"] <= 127
+          else model.J.astype(jnp.int32))
     key = jax.random.fold_in(jax.random.key(seed), 0x5EEb)
     sigT = state.sigma.T.astype(jnp.int32)
     lfT = jax.vmap(model.local_fields)(state.sigma).T.astype(jnp.int32)
@@ -144,11 +177,10 @@ def sweepMC_dense(model: FullyConnected, beta: float, sweeps: int, *,
 
 
 def _sweep_dense_pallas(model, beta, sweeps, step, seed, state):
-    """Checkpoint-granular driver over the VMEM-resident Pallas kernel: one
-    dispatch per checkpoint (`step` sweeps stay on-chip per dispatch)."""
-    from ..ops.sk_pallas import PallasSKSweeper
-
-    sw = PallasSKSweeper(model, beta)
+    """Checkpoint-granular driver over the Pallas dense kernel: one dispatch
+    per checkpoint (`step` sweeps stay on-chip per dispatch). The sweeper is
+    cached per (model, beta) — construction pads/casts the [N, N] J."""
+    sw = _cached_sweeper(model, float(beta))
     sigma, E, lfT = state.sigma, state.E.astype(jnp.int32), None
     n_ckpt = sweeps // step
     Es = []
@@ -160,7 +192,8 @@ def _sweep_dense_pallas(model, beta, sweeps, step, seed, state):
         sigma, E, lfT = sw(sigma, E, seed=(seed * 1000003 + n_ckpt) % (2 ** 31),
                            n_sweeps=sweeps % step, lfT=lfT)
     E_series = jnp.stack(Es) if Es else jnp.zeros((0, sigma.shape[0]), E.dtype)
-    state = MCState(sigma=sigma,
-                    aux=lfT[: model.N].T.astype(state.aux.dtype),
-                    E=E, key=state.key, accepted=state.accepted)
+    aux = (state.aux if lfT is None  # sweeps == 0: nothing ran
+           else lfT[: model.N].T.astype(state.aux.dtype))
+    state = MCState(sigma=sigma, aux=aux, E=E, key=state.key,
+                    accepted=state.accepted)
     return series_to_chain_major(jax.vmap(model.to_physical)(E_series)), state

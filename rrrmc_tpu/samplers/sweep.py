@@ -160,22 +160,30 @@ def sweepMC(model: Pairwise, beta: float, sweeps: int, *, step: int = 1,
     from ..models.dense import FullyConnected
 
     if isinstance(model, FullyConnected):
-        from .dense_sweep import sweepMC_dense, _pallas_dense_eligible
+        from .dense_sweep import (sweepMC_dense, _pallas_dense_eligible,
+                                  _model_meta)
         if backend == "pallas" or (backend == "auto"
                                    and jax.default_backend() != "cpu"
                                    and _pallas_dense_eligible(model, chains)):
             return sweepMC_dense(model, beta, sweeps, step=step,
                                  chains=chains, seed=seed, C0=C0,
                                  state=state, backend="pallas")
-        masks = color_masks_dense(np.asarray(model.J))
-        if masks.shape[0] > 32:  # genuinely dense: coloring degenerates
+        meta = _model_meta(model)
+        if "max_degree" not in meta:
+            # one jitted scalar reduction — do NOT pull [N, N] J to host
+            # just to discover the model is dense
+            meta["max_degree"] = int(jax.jit(
+                lambda J: jnp.max(jnp.sum(J != 0, axis=1)))(model.J))
+        if meta["max_degree"] > 32:  # genuinely dense: coloring degenerates
             return sweepMC_dense(model, beta, sweeps, step=step,
                                  chains=chains, seed=seed, C0=C0,
                                  state=state, backend="xla")
+        if "masks" not in meta:
+            meta["masks"] = color_masks_dense(np.asarray(model.J))
         if state is None:
             state = init_state(model, chains, seed, C0)
-        state, series = _run_sweepmc(model, state, float(beta), masks,
-                                     sweeps // step, step)
+        state, series = _run_sweepmc(model, state, float(beta),
+                                     meta["masks"], sweeps // step, step)
         return series_to_chain_major(series), state
     assert isinstance(model, Pairwise), "sweepMC requires a Pairwise model"
     if state is None:

@@ -70,6 +70,31 @@ def test_sweepmc_routes_dense():
     assert abs(a - b) < 2.5, (a, b)
 
 
+def test_sweepmc_dense_int32_couplings_and_zero_sweeps():
+    """Integer couplings beyond int8 must run (int32 matmul path), and
+    sweeps=0 must be a no-op instead of a crash."""
+    J = np.zeros((8, 8))
+    for i in range(8):
+        J[i, (i + 1) % 8] = J[(i + 1) % 8, i] = 200.0
+    m = rt.densify(rt.make_pairwise(
+        [[(i - 1) % 8, (i + 1) % 8] for i in range(8)],
+        [[200.0, 200.0]] * 8, 8, integer_scale=1.0))
+    assert m.J.dtype == jnp.int32
+    Es, st = rt.sweepMC(m, 0.5, sweeps=200, step=50, chains=16, seed=1,
+                        backend="xla")
+    E_re = jax.jit(jax.vmap(m.energy))(st.sigma)
+    np.testing.assert_array_equal(np.asarray(E_re), np.asarray(st.E))
+
+    from rrrmc_tpu.samplers.dense_sweep import sweepMC_dense
+    m2 = rt.densify(rt.GraphRRG(64, 3, (-1, 1), seed=5))
+    st0 = rt.init_state(m2, 128, seed=2)
+    Es0, st1 = sweepMC_dense(m2, 1.0, sweeps=0, chains=128, seed=3,
+                             state=st0, backend="pallas")
+    assert Es0.shape[1] == 0
+    np.testing.assert_array_equal(np.asarray(st1.sigma),
+                                  np.asarray(st0.sigma))
+
+
 def test_densify_rejects_offset():
     m = rt.make_pairwise([[1], [0]], [[1.0], [1.0]], 2, offset=3.0)
     with pytest.raises(AssertionError):
