@@ -1,0 +1,169 @@
+"""Pallas TPU kernel for single-site Metropolis on sparse Pairwise models.
+
+The XLA single-site path costs ~70us/move at any batch size: every move is a
+handful of tiny gather/scatter/RNG ops, each paying full op-dispatch latency
+inside the scan. This kernel executes one move as a few [1, BT] vector-row
+operations with ALL state resident in VMEM:
+
+* the site schedule is precomputed on the host and read per move from SMEM
+  (one scalar read); neighbor ids and couplings are SMEM scalar tables;
+* spins and local fields live in VMEM [N, BT] scratch; the move touches one
+  row (dE, acceptance) plus K neighbor rows (lf scatter) via scalar-indexed
+  ref slices — no gathers;
+* acceptance bits come from the hardware PRNG, compared in int32.
+
+Semantics: each chain is an exact Metropolis chain; the SITE SCHEDULE IS
+SHARED across the chain batch (site choice is state-independent, so sharing
+preserves every chain's law — the same argument as the dense sweep's shared
+permutation, samplers/dense_sweep.py). Use the XLA path when fully
+independent per-chain site sequences matter.
+
+Restricted to integer-coupling Pairwise models (exact int32 energies; fields
+enter through the local-field init). ~0.5us/move for a full chain block vs
+~70us on the XLA path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .prng import interpret_params, program_seed, random_bits
+from .tiling import auto_block_chains
+
+_INTERPRET = interpret_params()
+
+
+def _site_kernel(seed_ref, nm_ref, betas_ref, sites_ref, neigh_ref, J_ref,
+                 sigma_ref, lf_ref, sigma_out, lf_out, dE_out,
+                 sig_s, lf_s, dE_s, *, N, K, BT):
+    """sites_ref [MAX_MOVES] SMEM; neigh_ref/J_ref [N*K] SMEM (row-major,
+    padded with site N -> the scratch sink row)."""
+    seed_p = program_seed(seed_ref[0], pl.program_id(0))
+    pltpu.prng_seed(seed_p)
+    salt0 = seed_p * jnp.int32(1000003)
+    n_moves = nm_ref[0]
+    beta_s = betas_ref[0]
+
+    sig_s[pl.ds(0, N), :] = sigma_ref[:].astype(jnp.int32)
+    lf_s[pl.ds(0, N), :] = lf_ref[:]
+    dE_s[:] = jnp.zeros((1, BT), jnp.int32)
+
+    def move(m, _):
+        i = sites_ref[m]
+        s_row = sig_s[pl.ds(i, 1), :]                   # [1, BT]
+        dE = 2 * s_row * lf_s[pl.ds(i, 1), :]
+        p = jnp.exp(-beta_s * dE.astype(jnp.float32))
+        th = jnp.clip(
+            p * jnp.float32(4294967296.0) - jnp.float32(2147483648.0),
+            jnp.float32(-2147483648.0),
+            jnp.float32(2147483520.0)).astype(jnp.int32)
+        rbits = random_bits((1, BT), salt0 + m)
+        acc = (dE <= 0) | (rbits < th)
+        d = jnp.where(acc, -2 * s_row, 0)               # [1, BT]
+        sig_s[pl.ds(i, 1), :] = jnp.where(acc, -s_row, s_row)
+        for k in range(K):                              # unrolled
+            nb = neigh_ref[i * K + k]       # padded entries point at N
+            lf_s[pl.ds(nb, 1), :] = (lf_s[pl.ds(nb, 1), :]
+                                     + J_ref[i * K + k] * d)
+        dE_s[:] = dE_s[:] + jnp.where(acc, dE, 0)
+        return 0
+
+    jax.lax.fori_loop(0, n_moves, move, 0)
+    sigma_out[:] = sig_s[pl.ds(0, N), :].astype(jnp.int8)
+    lf_out[:] = lf_s[pl.ds(0, N), :]
+    dE_out[:] = dE_s[:]
+
+
+@partial(jax.jit, static_argnames=("K", "block_chains"))
+def _pallas_site(sigma, lfT, E, sites, neigh_flat, J_flat, seed, n_moves,
+                 beta_s, *, K, block_chains):
+    sigmaT = sigma.T
+    N, B = sigmaT.shape
+    BT = block_chains
+    grid = (B // BT,)
+    kernel = partial(_site_kernel, N=N, K=K, BT=BT)
+    sig_out, lf_out, dE = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # seed
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # n_moves
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # beta_s
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # sites
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # neigh flat [N*K]
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # J flat [N*K]
+            pl.BlockSpec((N, BT), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, BT), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((N, BT), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, BT), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BT), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, B), jnp.int8),
+            jax.ShapeDtypeStruct((N, B), jnp.int32),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((N + 1, BT), jnp.int32),   # sig_s (+ padding row)
+            pltpu.VMEM((N + 1, BT), jnp.int32),   # lf_s (padding row = sink)
+            pltpu.VMEM((1, BT), jnp.int32),       # dE_s
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_INTERPRET,
+    )(seed, n_moves, beta_s, sites, neigh_flat, J_flat, sigmaT, lfT)
+    return sig_out.T, E + dE[0], lf_out
+
+
+class PallasSiteSampler:
+    """Reusable single-site Metropolis runner for an integer Pairwise model.
+
+    The neighbor-table padding convention (sentinel site N, J=0) routes
+    padded updates to the scratch's extra sink row, exactly like the
+    sentinel-scatter idiom of the XLA path (core/model.flip_spin)."""
+
+    #: moves per kernel dispatch (bounded by the SMEM site table, 64 KB)
+    MAX_MOVES = 16384
+
+    def __init__(self, model, beta: float, *, block_chains: int = 0):
+        from ..models.pairwise import Pairwise
+
+        assert isinstance(model, Pairwise), "requires a Pairwise model"
+        assert jnp.issubdtype(model.J.dtype, jnp.integer), \
+            "pallas site sampler requires integer couplings"
+        self.model = model
+        self.N, self.K = model.N, model.K
+        self.neigh_flat = model.neigh.reshape(-1).astype(jnp.int32)
+        self.J_flat = model.J.reshape(-1).astype(jnp.int32)
+        self.beta_s = jnp.asarray([beta * model.scale], jnp.float32)
+        self.block_chains = block_chains
+
+    def __call__(self, sigma, E, key, *, seed: int, n_moves: int, lfT=None):
+        """sigma [B, N] int8, E [B] int32, key: jax PRNG key for the shared
+        site schedule. Returns (sigma', E', lfT', key')."""
+        B, N = sigma.shape
+        bt = self.block_chains or auto_block_chains(B, 30 * (N + 1))
+        if lfT is None:
+            from ..samplers.common import init_lfT
+            lfT = init_lfT(self.model, sigma)
+        done = 0
+        while done < n_moves:
+            m = min(self.MAX_MOVES, n_moves - done)
+            key, ks = jax.random.split(key)
+            # fixed-size site bucket: one compile for every chunk length
+            sites = jax.random.randint(ks, (self.MAX_MOVES,), 0, N,
+                                       jnp.int32)
+            sigma, E, lfT = _pallas_site(
+                sigma, lfT, E, sites, self.neigh_flat, self.J_flat,
+                jnp.asarray([seed + done], jnp.int32),
+                jnp.asarray([m], jnp.int32), self.beta_s,
+                K=self.K, block_chains=bt)
+            done += m
+        return sigma, E, lfT, key

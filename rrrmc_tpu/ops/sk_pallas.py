@@ -268,8 +268,8 @@ class PallasSKSweeper:
                                    budget=VMEM_BUDGET - 2 * self.W * self.Np)
         assert B % bt == 0
         if lfT is None:
-            lfT = jax.jit(lambda s: jax.vmap(self.model.local_fields)(s)
-                          .T.astype(jnp.int32))(sigma)
+            from ..samplers.common import init_lfT
+            lfT = init_lfT(self.model, sigma)
         if self.Np != N:
             pad = self.Np - N
             sigma = jnp.pad(sigma, ((0, 0), (0, pad)), constant_values=1)

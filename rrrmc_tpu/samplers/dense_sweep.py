@@ -191,9 +191,11 @@ def _sweep_dense_pallas(model, beta, sweeps, step, seed, state):
     if sweeps % step:
         sigma, E, lfT = sw(sigma, E, seed=(seed * 1000003 + n_ckpt) % (2 ** 31),
                            n_sweeps=sweeps % step, lfT=lfT)
-    E_series = jnp.stack(Es) if Es else jnp.zeros((0, sigma.shape[0]), E.dtype)
+    from .common import stack_physical, transpose_astype
+    E_series = (stack_physical(tuple(Es), float(model.scale)) if Es
+                else jnp.zeros((0, sigma.shape[0]), jnp.float32))
     aux = (state.aux if lfT is None  # sweeps == 0: nothing ran
-           else lfT[: model.N].T.astype(state.aux.dtype))
+           else transpose_astype(lfT[: model.N], state.aux.dtype))
     state = MCState(sigma=sigma, aux=aux, E=E, key=state.key,
                     accepted=state.accepted)
-    return series_to_chain_major(jax.vmap(model.to_physical)(E_series)), state
+    return series_to_chain_major(E_series), state

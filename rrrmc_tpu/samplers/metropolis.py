@@ -15,8 +15,9 @@ import jax
 import jax.numpy as jnp
 
 from ..core.model import Model
-from .common import (DEFAULT_SEED, MCState, init_state, run_with_hook,
-                     series_to_chain_major)
+from .common import (DEFAULT_SEED, MCState, init_state, init_lfT,
+                     run_with_hook, series_to_chain_major, stack_physical,
+                     transpose_astype)
 
 
 def metropolis_accept(key, x):
@@ -44,7 +45,7 @@ def make_metropolis_step(model: Model, beta: float):
 def standardMC(model: Model, beta: float, iters: int, *, step: int = 1,
                chains: int = 1, seed: int = DEFAULT_SEED, C0=None,
                observer=None, hook=None, hook_every: int = 10,
-               state: Optional[MCState] = None):
+               state: Optional[MCState] = None, backend: str = "xla"):
     """Run `iters` Metropolis moves per chain; returns (Es, state).
 
     Es: [chains, iters // step] physical energies at each checkpoint.
@@ -52,11 +53,63 @@ def standardMC(model: Model, beta: float, iters: int, *, step: int = 1,
     hook(it, model, state) -> bool is the reference hook protocol
     (/root/reference/src/RRRMC.jl:61-64): called every `hook_every`
     checkpoints; returning False stops early.
+
+    backend="xla" (default): reference-faithful — every chain draws its own
+    site sequence. backend="pallas": the VMEM-resident single-site kernel
+    (ops/site_pallas.py, ~200x faster) — each chain is still an exact
+    Metropolis chain but the site SCHEDULE is shared across the batch;
+    integer Pairwise models only, chains % 128 == 0, no hook/observer.
     """
     if state is None:
         state = init_state(model, chains, seed, C0)
+    if backend == "pallas":
+        assert hook is None and observer is None, \
+            "the pallas single-site path has no hook/observer support"
+        return _standard_pallas(model, float(beta), iters, step, seed, state)
+    assert backend == "xla", backend
     state, series = run_with_hook(model, state, float(beta),
                                   make_metropolis_step,
                                   iters // step, step, observer,
                                   hook, hook_every)
     return series_to_chain_major(series), state
+
+
+#: sampler cache: construction runs eager reshape/astype on the neighbor
+#: tables (~0.1-1s each on the remote backend); keyed by the table identity
+#: (held to prevent id reuse)
+_SITE_CACHE: dict = {}
+
+
+def _cached_site_sampler(model, beta):
+    from ..ops.site_pallas import PallasSiteSampler
+
+    key = (id(model.neigh), beta)
+    ent = _SITE_CACHE.get(key)
+    if ent is None or ent[0] is not model.neigh:
+        ent = (model.neigh, PallasSiteSampler(model, beta))
+        _SITE_CACHE[key] = ent
+    return ent[1]
+
+
+def _standard_pallas(model, beta, iters, step, seed, state):
+    ps = _cached_site_sampler(model, beta)
+    sigma, E, lfT = state.sigma, state.E.astype(jnp.int32), None
+    key = jax.random.fold_in(jax.random.key(seed), 0x517E)
+    n_ckpt = iters // step
+    Es = []
+    if lfT is None:
+        lfT = init_lfT(model, sigma)
+    for c in range(n_ckpt):
+        sigma, E, lfT, key = ps(sigma, E, key, seed=seed + 7919 * c,
+                                n_moves=step, lfT=lfT)
+        Es.append(E)
+    if iters % step:
+        sigma, E, lfT, key = ps(sigma, E, key, seed=seed + 7919 * n_ckpt,
+                                n_moves=iters % step, lfT=lfT)
+    E_series = (stack_physical(tuple(Es), float(model.scale)) if Es
+                else jnp.zeros((0, sigma.shape[0]), jnp.float32))
+    aux = (state.aux if lfT is None
+           else transpose_astype(lfT, state.aux.dtype))
+    state = MCState(sigma=sigma, aux=aux, E=E, key=state.key,
+                    accepted=state.accepted)
+    return series_to_chain_major(E_series), state
