@@ -59,14 +59,19 @@ def _build_dir_tables(model):
     return Jp, Jm
 
 
-def _sweep_kernel(seed_ref, ns_ref, beta2s_ref, sigma_ref, jp_ref, jm_ref,
-                  sigma_out, dE_out, *, L, D, BT):
+def _sweep_kernel(seed_ref, ns_ref, beta2s_ref, th_ref, sigma_ref, jp_ref,
+                  jm_ref, sigma_out, dE_out, *, L, D, BT, max_half):
+    """th_ref [max_half] SMEM: precomputed int32 acceptance thresholds for
+    half = sigma*lf in 1..max_half (half <= 0 always accepts). The integer
+    local field takes at most 2*D*|J|max+|h| values, so the acceptance
+    probability is a tiny table — selects replace the per-element exp chain
+    (exp + scale + clip + 2 converts on [N, BT] per color step)."""
     N = L ** D
     seed_p = program_seed(seed_ref[0], pl.program_id(0))
     pltpu.prng_seed(seed_p)
     salt0 = seed_p * jnp.int32(1000003)
     n_sweeps = ns_ref[0]    # dynamic trip count: one compile for any length
-    beta2s = beta2s_ref[0]  # beta * 2 * physical scale (f32)
+    del beta2s_ref          # folded into th_ref at trace time
 
     idx = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
     parity = jnp.zeros((N, 1), jnp.int32)
@@ -101,13 +106,12 @@ def _sweep_kernel(seed_ref, ns_ref, beta2s_ref, sigma_ref, jp_ref, jm_ref,
 
     def color_step(sig, dE_acc, mask, salt):
         half = sig * local_fields(sig)             # dE_int = 2 * half
-        # integer-domain acceptance: r ~ U(int32) < p*2^32 - 2^31 <=> u < p
+        # integer-domain acceptance: r ~ U(int32) < p*2^32 - 2^31 <=> u < p,
+        # thresholds from the tiny SMEM table (half <= 0 forces accept)
         rbits = random_bits((N, BT), salt)
-        p = jnp.exp(-beta2s * half.astype(jnp.float32))
-        thresh = jnp.clip(
-            p * jnp.float32(4294967296.0) - jnp.float32(2147483648.0),
-            jnp.float32(-2147483648.0),
-            jnp.float32(2147483520.0)).astype(jnp.int32)
+        thresh = jnp.full((N, BT), th_ref[0], jnp.int32)
+        for v in range(2, max_half + 1):
+            thresh = jnp.where(half >= v, th_ref[v - 1], thresh)
         acc = mask & ((half <= 0) | (rbits < thresh))
         sig = jnp.where(acc, -sig, sig)
         dE_acc = dE_acc + 2 * jnp.sum(
@@ -128,15 +132,24 @@ def _sweep_kernel(seed_ref, ns_ref, beta2s_ref, sigma_ref, jp_ref, jm_ref,
     dE_out[:] = dE
 
 
-@partial(jax.jit, static_argnames=("L", "D", "block_chains"))
-def _pallas_sweep(sigma, E, Jp, Jm, seed, n_sweeps, beta2s, *, L, D,
-                  block_chains):
+def accept_thresholds(beta2s: float, max_half: int) -> np.ndarray:
+    """int32 thresholds th[v-1] for half = v in 1..max_half: accept iff
+    rbits < th where rbits ~ U(int32) — i.e. with prob e^(-beta2s*v)."""
+    v = np.arange(1, max_half + 1, dtype=np.float64)
+    p = np.exp(-float(beta2s) * v)
+    return np.clip(p * 4294967296.0 - 2147483648.0,
+                   -2147483648.0, 2147483520.0).astype(np.int32)
+
+
+@partial(jax.jit, static_argnames=("L", "D", "block_chains", "max_half"))
+def _pallas_sweep(sigma, E, Jp, Jm, seed, n_sweeps, beta2s, th, *, L, D,
+                  block_chains, max_half):
     # transposes stay inside the jit: the kernel layout is [sites, chains]
     sigmaT = sigma.T
     N, B = sigmaT.shape
     BT = block_chains
     grid = (B // BT,)
-    kernel = partial(_sweep_kernel, L=L, D=D, BT=BT)
+    kernel = partial(_sweep_kernel, L=L, D=D, BT=BT, max_half=max_half)
     sig_out, dE = pl.pallas_call(
         kernel,
         grid=grid,
@@ -144,6 +157,7 @@ def _pallas_sweep(sigma, E, Jp, Jm, seed, n_sweeps, beta2s, *, L, D,
             pl.BlockSpec(memory_space=pltpu.SMEM),      # seed
             pl.BlockSpec(memory_space=pltpu.SMEM),      # n_sweeps
             pl.BlockSpec(memory_space=pltpu.SMEM),      # beta2s
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # thresholds
             pl.BlockSpec((N, BT), lambda j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),      # Jp [N, D]
             pl.BlockSpec(memory_space=pltpu.VMEM),      # Jm [N, D]
@@ -159,7 +173,7 @@ def _pallas_sweep(sigma, E, Jp, Jm, seed, n_sweeps, beta2s, *, L, D,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_INTERPRET,
-    )(seed, n_sweeps, beta2s, sigmaT, Jp, Jm)
+    )(seed, n_sweeps, beta2s, th, sigmaT, Jp, Jm)
     return sig_out.T, E + dE[0]
 
 
@@ -180,6 +194,10 @@ class PallasSweeper:
         self.Jp = jnp.asarray(Jp)
         self.Jm = jnp.asarray(Jm)
         self.beta2s = jnp.asarray([2.0 * beta * model.scale], jnp.float32)
+        self.max_half = int(np.abs(Jp).sum(axis=1).max()
+                            + np.abs(Jm).sum(axis=1).max())
+        self.th = jnp.asarray(accept_thresholds(2.0 * beta * model.scale,
+                                                self.max_half))
         self.L, self.D = model.L, model.D
         self.block_chains = block_chains
 
@@ -200,8 +218,8 @@ class PallasSweeper:
         return _pallas_sweep(sigma, E, self.Jp, self.Jm,
                              jnp.asarray([seed], jnp.int32),
                              jnp.asarray([n_sweeps], jnp.int32), self.beta2s,
-                             L=self.L, D=self.D,
-                             block_chains=bt)
+                             self.th, L=self.L, D=self.D,
+                             block_chains=bt, max_half=self.max_half)
 
 
 def sweep_ea_pallas(model, beta: float, sigma, E, *, seed: int,
