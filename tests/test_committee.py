@@ -82,3 +82,13 @@ def test_committee_eo_learns():
     m = rt.GraphCommStep(5, 3, 5, seed=12)
     res = rt.extremal_opt(m, 1.4, 3000, chains=8, seed=13)
     assert float(np.min(np.asarray(res.Emin))) == 0.0
+
+
+def test_commqu_re_alias_runs():
+    import rrrmc_tpu as rt
+
+    m = rt.GraphCommQuRE(8, 4, 4, M=3, gamma=0.3, beta=1.0, seed=2)
+    Es, st = rt.standardMC(m, 1.0, iters=400, step=100, chains=4, seed=1)
+    E_re = jax.jit(jax.vmap(m.energy))(st.sigma)
+    np.testing.assert_allclose(np.asarray(E_re), np.asarray(st.E),
+                               atol=1e-9)

@@ -196,3 +196,36 @@ def test_annealing_rebind():
         E_re = jax.jit(jax.vmap(m.energy))(state.sigma)
         np.testing.assert_allclose(np.asarray(E_re), np.asarray(state.E),
                                    atol=1e-9)
+
+
+def test_reference_layout_roundtrip():
+    """to/from_reference_layout invert each other and implement the exact
+    reference index conventions (QT.jl:172-182 replica-major; RE.jl:255-263
+    site-major; LE.jl:227-240 site-major with slot 0 = reference)."""
+    import rrrmc_tpu as rt
+    from rrrmc_tpu.models.replicas import (to_reference_layout,
+                                           from_reference_layout)
+
+    base = rt.GraphSK(8, seed=1)
+    for m in (rt.GraphQuant(8, 4, Gamma=0.3, beta=1.0, base=base),
+              rt.GraphRobustEnsemble(8, 3, gamma=0.2, beta=1.0, base=base),
+              rt.GraphLocalEntropy(8, 3, gamma=0.2, beta=1.0, base=base)):
+        sigma = rt.random_spins(jax.random.key(2), m.N)
+        ref = to_reference_layout(m, sigma)
+        back = from_reference_layout(m, ref)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(sigma))
+    # RE: reference index j = k + i*M must read replica k, site i
+    m = rt.GraphRobustEnsemble(8, 3, gamma=0.2, beta=1.0, base=base)
+    sigma = jnp.arange(m.N, dtype=jnp.int8)  # internal: value = k*Nk + i
+    ref = np.asarray(to_reference_layout(m, sigma))
+    M, Nk = 3, 8
+    for i in range(Nk):
+        for k in range(M):
+            assert ref[k + i * M] == k * Nk + i
+    # LE: reference slot s=0 is the center block (internal block 0)
+    m = rt.GraphLocalEntropy(8, 3, gamma=0.2, beta=1.0, base=base)
+    sigma = jnp.arange(m.N, dtype=jnp.int8)
+    ref = np.asarray(to_reference_layout(m, sigma))
+    for i in range(8):
+        assert ref[0 + i * 4] == i          # center block
+        assert ref[1 + i * 4] == 8 + i      # replica 0 block
