@@ -46,6 +46,12 @@ def draw_times(key, model: Model, sigma, aux, beta, t_now):
 
 
 def make_wtm_move(model: Model, beta, tmax):
+    # models with a neighbor table (Pairwise family) redraw only the flipped
+    # spin's clock and its neighbors' — the reference's exact update
+    # (/root/reference/src/WaitingTimes.jl:39-51) and O(deg) instead of O(N)
+    # RNG per move; others redraw everything (valid by memorylessness)
+    neigh = getattr(model, "neigh", None)
+
     def move1(sigma, aux, E, key, accepted, t, times):
         active = t < tmax
         key, k_redraw = jax.random.split(key)
@@ -54,8 +60,18 @@ def make_wtm_move(model: Model, beta, tmax):
         dE = model.delta_one(sigma, aux, i)
         sigma, aux = model.flip(sigma, aux, i, active)
         E = E + jnp.where(active, dE, jnp.zeros_like(dE))
-        fresh = draw_times(k_redraw, model, sigma, aux, beta, t_new)
-        times = jnp.where(active, fresh, times)
+        if neigh is None:
+            fresh = draw_times(k_redraw, model, sigma, aux, beta, t_new)
+            times = jnp.where(active, fresh, times)
+        else:
+            idx = jnp.concatenate([i[None], neigh[i]])   # [K+1]; pad = N
+            dEs = model.to_physical(jax.vmap(
+                lambda j: model.delta_one(sigma, aux, j))(idx))
+            log_tau = jnp.maximum(beta * dEs, 0.0)
+            u = jax.random.uniform(k_redraw, idx.shape, times.dtype)
+            wt = -jnp.exp(log_tau) * jnp.log1p(-u)
+            tgt = jnp.where(active, idx, model.N)        # drop when inactive
+            times = times.at[tgt].set(t_new + wt, mode="drop")
         accepted = accepted + active.astype(jnp.int32)
         return sigma, aux, E, key, accepted, t_new, times
 
