@@ -149,8 +149,10 @@ def export_cnf(X: SATModel, filename: str, decimate=None):
     L = np.asarray(X.L)
     clauses = [[(int(A[a, k]), int(L[a, k])) for k in range(A.shape[1])
                 if A[a, k] < X.N] for a in range(X.Mc)]
-    decimate = list(decimate) if decimate else []
+    decimate = list(dict.fromkeys(decimate)) if decimate else []  # dedupe
     if decimate:
+        if any(-v in decimate for v in decimate):
+            raise ValueError("contradiction in decimation list")
         T = [[] for _ in range(X.N)]
         for a, cl in enumerate(clauses):
             for i, _ in cl:

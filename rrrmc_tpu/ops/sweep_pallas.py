@@ -71,7 +71,7 @@ def _sweep_kernel(seed_ref, ns_ref, beta2s_ref, th_ref, sigma_ref, jp_ref,
     pltpu.prng_seed(seed_p)
     salt0 = seed_p * jnp.int32(1000003)
     n_sweeps = ns_ref[0]    # dynamic trip count: one compile for any length
-    del beta2s_ref          # folded into th_ref at trace time
+    beta2s = beta2s_ref[0]  # used only when the table is disabled
 
     idx = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
     parity = jnp.zeros((N, 1), jnp.int32)
@@ -109,9 +109,16 @@ def _sweep_kernel(seed_ref, ns_ref, beta2s_ref, th_ref, sigma_ref, jp_ref,
         # integer-domain acceptance: r ~ U(int32) < p*2^32 - 2^31 <=> u < p,
         # thresholds from the tiny SMEM table (half <= 0 forces accept)
         rbits = random_bits((N, BT), salt)
-        thresh = jnp.full((N, BT), th_ref[0], jnp.int32)
-        for v in range(2, max_half + 1):
-            thresh = jnp.where(half >= v, th_ref[v - 1], thresh)
+        if max_half:   # small level set: thresholds by select chain
+            thresh = jnp.full((N, BT), th_ref[0], jnp.int32)
+            for v in range(2, max_half + 1):
+                thresh = jnp.where(half >= v, th_ref[v - 1], thresh)
+        else:          # wide integer range (fixed-point couplings): exp
+            p = jnp.exp(-beta2s * half.astype(jnp.float32))
+            thresh = jnp.clip(
+                p * jnp.float32(4294967296.0) - jnp.float32(2147483648.0),
+                jnp.float32(-2147483648.0),
+                jnp.float32(2147483520.0)).astype(jnp.int32)
         acc = mask & ((half <= 0) | (rbits < thresh))
         sig = jnp.where(acc, -sig, sig)
         dE_acc = dE_acc + 2 * jnp.sum(
@@ -194,10 +201,13 @@ class PallasSweeper:
         self.Jp = jnp.asarray(Jp)
         self.Jm = jnp.asarray(Jm)
         self.beta2s = jnp.asarray([2.0 * beta * model.scale], jnp.float32)
-        self.max_half = int(np.abs(Jp).sum(axis=1).max()
-                            + np.abs(Jm).sum(axis=1).max())
-        self.th = jnp.asarray(accept_thresholds(2.0 * beta * model.scale,
-                                                self.max_half))
+        # select-chain thresholds only pay off for small level sets;
+        # fixed-point couplings (|lf| up to ~1e5 grid units) keep the exp
+        # path (max_half=0 disables the table)
+        mh = int(np.abs(Jp).sum(axis=1).max() + np.abs(Jm).sum(axis=1).max())
+        self.max_half = mh if mh <= 64 else 0
+        self.th = jnp.asarray(accept_thresholds(
+            2.0 * beta * model.scale, max(self.max_half, 1)))
         self.L, self.D = model.L, model.D
         self.block_chains = block_chains
 

@@ -62,10 +62,30 @@ def rebind(model: Model, state: MCState) -> MCState:
     next sampler call. Here: build the new model with its constructor, then
     `state = rebind(new_model, state)` — unlike C0=, the per-chain RNG
     streams continue uninterrupted."""
-    aux = jax.jit(jax.vmap(model.init_aux))(state.sigma)
-    E = jax.jit(jax.vmap(model.energy))(state.sigma)
+    aux, E = _rebind_aux_E(model, state.sigma)
     return MCState(sigma=state.sigma, aux=aux, E=E, key=state.key,
                    accepted=state.accepted)
+
+
+@jax.jit
+def _rebind_aux_E(model, sigma):
+    # module-level jit: per-call jax.jit(bound method) would recompile on
+    # every annealing step (cache is keyed by function identity)
+    return jax.vmap(model.init_aux)(sigma), jax.vmap(model.energy)(sigma)
+
+
+@jax.jit
+def init_aux_batch(model, sigma):
+    return jax.vmap(model.init_aux)(sigma)
+
+
+def bound_cache_put(cache: dict, key, value, limit: int = 8):
+    """Insert with FIFO eviction — sampler/sweeper caches hold device arrays
+    (the [N, N] J and padded copies) and must not grow unboundedly across a
+    disorder study."""
+    if key not in cache and len(cache) >= limit:
+        cache.pop(next(iter(cache)))
+    cache[key] = value
 
 
 @jax.jit

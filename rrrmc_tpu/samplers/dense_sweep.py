@@ -99,6 +99,8 @@ _MODEL_CACHE: dict = {}
 
 
 def _model_meta(model) -> dict:
+    from .common import bound_cache_put
+
     key = id(model.J)
     ent = _MODEL_CACHE.get(key)
     if ent is None or ent["J"] is not model.J:
@@ -106,7 +108,7 @@ def _model_meta(model) -> dict:
                "j_max": int(jnp.max(jnp.abs(model.J))),
                "h_max": int(jnp.max(jnp.abs(model.h))),
                "sweepers": {}}
-        _MODEL_CACHE[key] = ent
+        bound_cache_put(_MODEL_CACHE, key, ent)
     return ent
 
 

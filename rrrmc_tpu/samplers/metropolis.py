@@ -74,42 +74,63 @@ def standardMC(model: Model, beta: float, iters: int, *, step: int = 1,
     return series_to_chain_major(series), state
 
 
-#: sampler cache: construction runs eager reshape/astype on the neighbor
-#: tables (~0.1-1s each on the remote backend); keyed by the table identity
-#: (held to prevent id reuse)
+#: sampler cache: construction runs eager reshape/astype on the coupling
+#: tables (~0.1-1s each on the remote backend); keyed by table identity and
+#: bounded (FIFO) so disorder studies do not pin device memory forever
 _SITE_CACHE: dict = {}
 
 
 def _cached_site_sampler(model, beta):
     from ..ops.site_pallas import PallasSiteSampler
+    from .common import bound_cache_put
 
-    key = (id(model.neigh), beta)
+    key = (id(model.neigh), id(model.J), beta)
     ent = _SITE_CACHE.get(key)
-    if ent is None or ent[0] is not model.neigh:
-        ent = (model.neigh, PallasSiteSampler(model, beta))
-        _SITE_CACHE[key] = ent
-    return ent[1]
+    if (ent is None or ent[0] is not model.neigh
+            or ent[1] is not model.J):
+        ent = (model.neigh, model.J, PallasSiteSampler(model, beta))
+        bound_cache_put(_SITE_CACHE, key, ent)
+    return ent[2]
+
+
+@jax.jit
+def _derive_seed(key0):
+    """int32 kernel-seed base from a chain key — segmented continuation runs
+    (state=) must NOT replay the previous segment's site schedule and
+    acceptance streams, so the base comes from the evolving key state."""
+    return jax.random.randint(key0, (), 0, 2 ** 31 - 1, jnp.int32)
+
+
+@jax.jit
+def _advance_keys(keys):
+    return jax.vmap(lambda k: jax.random.fold_in(k, 0x9A11A5))(keys)
 
 
 def _standard_pallas(model, beta, iters, step, seed, state):
     ps = _cached_site_sampler(model, beta)
-    sigma, E, lfT = state.sigma, state.E.astype(jnp.int32), None
-    key = jax.random.fold_in(jax.random.key(seed), 0x517E)
+    sigma, E = state.sigma, state.E.astype(jnp.int32)
+    if iters <= 0:
+        return (jnp.zeros((sigma.shape[0], 0), jnp.float32), state)
+    # randomness derives from the chain keys (not the static seed), so a
+    # continuation run draws fresh schedules; keys advance in the returned
+    # state
+    key = jax.random.fold_in(state.key[0], 0x517E)
+    seed_base = int(_derive_seed(state.key[0]))
+    lfT = init_lfT(model, sigma)
     n_ckpt = iters // step
     Es = []
-    if lfT is None:
-        lfT = init_lfT(model, sigma)
     for c in range(n_ckpt):
-        sigma, E, lfT, key = ps(sigma, E, key, seed=seed + 7919 * c,
+        sigma, E, lfT, key = ps(sigma, E, key,
+                                seed=(seed_base + 7919 * c) % (2 ** 31),
                                 n_moves=step, lfT=lfT)
         Es.append(E)
     if iters % step:
-        sigma, E, lfT, key = ps(sigma, E, key, seed=seed + 7919 * n_ckpt,
+        sigma, E, lfT, key = ps(sigma, E, key,
+                                seed=(seed_base + 7919 * n_ckpt) % (2 ** 31),
                                 n_moves=iters % step, lfT=lfT)
     E_series = (stack_physical(tuple(Es), float(model.scale)) if Es
                 else jnp.zeros((0, sigma.shape[0]), jnp.float32))
-    aux = (state.aux if lfT is None
-           else transpose_astype(lfT, state.aux.dtype))
-    state = MCState(sigma=sigma, aux=aux, E=E, key=state.key,
+    state = MCState(sigma=sigma, aux=transpose_astype(lfT, state.aux.dtype),
+                    E=E, key=_advance_keys(state.key),
                     accepted=state.accepted)
     return series_to_chain_major(E_series), state

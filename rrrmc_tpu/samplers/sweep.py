@@ -122,22 +122,33 @@ def _pallas_eligible(model, chains: int) -> bool:
             and chains % 128 == 0)
 
 
+_LATTICE_SWEEPERS: dict = {}
+
+
 def _run_sweepmc_pallas(model, state: MCState, beta, n_ckpt, step, seed):
     """Checkpointed driver over the VMEM-resident Pallas kernel
     (ops/sweep_pallas.py): one kernel dispatch per checkpoint, exact int32
     energy tracking; aux is rebuilt once at the end."""
     from ..ops.sweep_pallas import PallasSweeper
 
-    sweeper = PallasSweeper(model, beta)
+    from .common import bound_cache_put, init_aux_batch, stack_physical
+
+    key = (id(model.Jd), float(beta))
+    ent = _LATTICE_SWEEPERS.get(key)
+    if ent is None or ent[0] is not model.Jd:
+        ent = (model.Jd, PallasSweeper(model, beta))
+        bound_cache_put(_LATTICE_SWEEPERS, key, ent)
+    sweeper = ent[1]
     sigma, E = state.sigma, state.E
     series = []
     for k in range(n_ckpt):
-        sigma, E = sweeper(sigma, E, seed=seed + 7919 * k, n_sweeps=step)
-        series.append(model.to_physical(E))
-    aux = jax.vmap(model.init_aux)(sigma)
+        sigma, E = sweeper(sigma, E, seed=(seed + 7919 * k) % (2 ** 31),
+                           n_sweeps=step)
+        series.append(E)
+    aux = init_aux_batch(model, sigma)
     state = MCState(sigma=sigma, aux=aux, E=E, key=state.key,
                     accepted=state.accepted)
-    return state, jnp.stack(series)
+    return state, stack_physical(tuple(series), float(model.scale))
 
 
 def sweepMC(model: Pairwise, beta: float, sweeps: int, *, step: int = 1,
@@ -175,6 +186,10 @@ def sweepMC(model: Pairwise, beta: float, sweeps: int, *, step: int = 1,
             meta["max_degree"] = int(jax.jit(
                 lambda J: jnp.max(jnp.sum(J != 0, axis=1)))(model.J))
         if meta["max_degree"] > 32:  # genuinely dense: coloring degenerates
+            if not jnp.issubdtype(model.J.dtype, jnp.integer):
+                raise NotImplementedError(
+                    "dense float-coupling models (e.g. GraphSKNormal) have "
+                    "no sweep kernel; use standardMC/bklMC/wtmMC/rrrMC")
             return sweepMC_dense(model, beta, sweeps, step=step,
                                  chains=chains, seed=seed, C0=C0,
                                  state=state, backend="xla")
