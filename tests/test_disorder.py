@@ -83,3 +83,17 @@ def test_stack_models_keeps_static():
     stacked = stack_models(models)
     assert stacked.N == models[0].N
     assert stacked.J.shape == (2,) + models[0].J.shape
+
+
+def test_sample_disorder_sweepmc():
+    """sweepMC under disorder vmap (lattice masks are static metadata, so
+    the stacked trace shares them)."""
+    models = [rt.GraphEA(4, 3, (-1, 1), seed=s) for s in (1, 2)]
+    Es, st = sample_disorder(rt.sweepMC, models, 1.5,
+                             sweeps=200, step=50, chains=8, seed=3,
+                             backend="xla")
+    assert np.asarray(Es).shape == (2, 8, 4)
+    for d, m in enumerate(models):
+        E_re = jax.jit(jax.vmap(m.energy))(st.sigma[d])
+        np.testing.assert_array_equal(np.asarray(E_re),
+                                      np.asarray(st.E)[d])
