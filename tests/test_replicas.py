@@ -40,6 +40,15 @@ def wrapper_zoo():
         "AddSubFields": rt.GraphAddSubFields(np.linspace(-1, 1, 4), ea),
         "Mixed": rt.mixed(rt.GraphEA(2, 2, (-1, 1), seed=12),
                           rt.GraphFields(4, (0.5, 1.5), seed=13)),
+        # nested wrapper composition (the reference's
+        # GraphRobustEnsemble(..., GraphQuant, ..., GraphSK, ...) case,
+        # /root/reference/test/runtests.jl:105): RE over a Quant DoubleGraph
+        "RE(Q(SK))": rt.GraphRobustEnsemble(
+            20, 4, 1.5, 2.0,
+            rt.GraphQuant(5, 4, 0.5, 2.0, rt.GraphSK(5, seed=14))),
+        "LE(Q(SK))": rt.GraphLocalEntropy(
+            12, 3, 0.5, 2.0,
+            rt.GraphQuant(4, 3, 0.5, 2.0, rt.GraphSK(4, seed=15))),
     }
 
 
@@ -79,7 +88,8 @@ def test_delta_and_aux_consistency(name):
                                    np.asarray(b, np.float64), atol=1e-9)
 
 
-SAMPLER_MODELS = ["QSKT", "SKRE", "SKLE", "SKTLE", "AddFields", "SK"]
+SAMPLER_MODELS = ["QSKT", "SKRE", "SKLE", "SKTLE", "AddFields", "SK",
+                  "RE(Q(SK))"]
 
 
 @pytest.mark.parametrize("name", SAMPLER_MODELS)
