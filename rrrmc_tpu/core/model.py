@@ -91,6 +91,18 @@ class Model:
         kept for parity checks and tests."""
         return None
 
+    def neighbor_table(self) -> Optional[Array]:
+        """[N, K] int32 table, padded with the sentinel N, of the spins whose
+        `delta_one` value can change when spin i flips — the `neighbors`
+        analog (/root/reference/src/Interface.jl:148-158). None means "every
+        spin may be affected" (fully-connected models, where the reference's
+        own `neighbors` is AllButOne, /root/reference/src/graphs/SK.jl:165);
+        samplers then fall back to O(N) updates, which is reference-parity.
+
+        Default: the `neigh` field of Pairwise-family models. Composite
+        wrappers override this to derive their union tables."""
+        return getattr(self, "neigh", None)
+
     def to_physical(self, e: Array) -> Array:
         """Convert internal-unit energies to physical units (float)."""
         from .dtypes import ftype

@@ -52,6 +52,14 @@ class Mixed(Model):
             new_aux.append(a2)
         return out_sigma, tuple(new_aux)
 
+    def neighbor_table(self):
+        """Union of the parts' affected-spin tables (column concat; duplicate
+        entries are harmless for redraw scatters)."""
+        tables = [p.neighbor_table() for p in self.parts]
+        if any(t is None for t in tables):
+            return None
+        return jnp.concatenate([t.astype(jnp.int32) for t in tables], axis=1)
+
 
 def mixed(*parts: Model) -> Mixed:
     assert len(parts) >= 2
@@ -88,6 +96,15 @@ class Double(Model):
         s2, a0 = self.inner_m.flip(sigma, aux[0], i, do)
         s2, a1 = self.resid_m.flip(sigma, aux[1], i, do)
         return s2, (a0, a1)
+
+    def neighbor_table(self):
+        """Union of inner and residual affected-spin tables."""
+        a = self.inner_m.neighbor_table()
+        b = self.resid_m.neighbor_table()
+        if a is None or b is None:
+            return None
+        return jnp.concatenate([a.astype(jnp.int32), b.astype(jnp.int32)],
+                               axis=1)
 
     @property
     def inner(self):

@@ -132,6 +132,32 @@ class Replicated(Model):
         rows = self.to_replicas(sigma)
         return jax.vmap(lambda s: self.base.to_physical(self.base.energy(s)))(rows)
 
+    #: synthesize an all-but-self block table for dense bases up to this Nk
+    #: (table memory = N * (Nk-1) * 4 bytes)
+    DENSE_TABLE_MAX_NK = 4096
+
+    def neighbor_table(self):
+        """Composite table: base neighbors shifted into each replica's block
+        (flips only affect deltas within their own replica). Center blocks
+        (LE `offset` slots) contribute no Replicated energy, so their rows
+        are all-sentinel. Dense bases (no base table) get a synthesized
+        all-but-self block table when small enough, else None."""
+        nb = self.base.neighbor_table()
+        if nb is None:
+            if self.Nk > self.DENSE_TABLE_MAX_NK or self.Nk < 2:
+                return None
+            nb = (jnp.arange(self.Nk)[:, None] + 1
+                  + jnp.arange(self.Nk - 1)[None, :]) % self.Nk
+        nb = nb.astype(jnp.int32)
+        pad = nb >= self.Nk
+        blocks = [jnp.where(pad, self.N, nb + (self.offset + k) * self.Nk)
+                  for k in range(self.M)]
+        if self.offset:
+            head = jnp.full((self.offset * self.Nk, nb.shape[1]), self.N,
+                            jnp.int32)
+            blocks.insert(0, head)
+        return jnp.concatenate(blocks, axis=0)
+
 
 # ---------------------------------------------------------------------------
 # GraphQT: Suzuki-Trotter ring coupling (QT.jl:42-121)
@@ -301,6 +327,15 @@ class GraphRE(Model):
     def delta_classes(self):
         vals = sorted({round(abs(float(v)), 12) for v in np.asarray(self.fk)})
         return tuple(vals)
+
+    def neighbor_table(self):
+        """Flipping (i, k) changes mu_i, hence the deltas of site i in every
+        OTHER replica (the RE star, RE.jl:70-104): [N, M-1] table."""
+        j = jnp.arange(self.N, dtype=jnp.int32)
+        site, k = j % self.Nk, j // self.Nk
+        cols = [site + ((k + d) % self.Mr) * self.Nk
+                for d in range(1, self.Mr)]
+        return jnp.stack(cols, axis=1)
 
 
 @pytree
@@ -490,6 +525,35 @@ class GraphTLE(Model):
         d2 = [2.0 * d * self.lambdaT for d in range(-mn, mn + 1)]
         vals = sorted({round(abs(a + b), 9) for a in d1 for b in d2})
         return tuple(vals)
+
+    def neighbor_table(self):
+        """Affected-spin table for the star + 4-spin topological term
+        (TLE.jl:83-142): a replica spin (i, k) affects its center, neighbor
+        centers, and same-replica neighbor spins; a center spin i affects
+        all replicas at i, neighbor centers, and all replicas at neighbor
+        sites. Rows are padded to a uniform width with the sentinel N."""
+        Nk, M, K = self.Nk, self.Mr, self.neighb.shape[1]
+        nb = self.neighb.astype(jnp.int32)            # [Nk, K], pad = Nk
+        pad = nb >= Nk
+        sent = jnp.int32(self.N)
+        nb_c = jnp.where(pad, sent, nb)
+        width = max(1 + 2 * K, M + K + K * M)
+
+        def padded(r):
+            fill = jnp.full((Nk, width - r.shape[1]), sent, jnp.int32)
+            return jnp.concatenate([r, fill], axis=1)
+
+        site = jnp.arange(Nk, dtype=jnp.int32)
+        reps_i = jnp.stack([(k + 1) * Nk + site for k in range(M)], axis=1)
+        reps_nb = jnp.concatenate(
+            [jnp.where(pad, sent, (k + 1) * Nk + nb) for k in range(M)],
+            axis=1)
+        rows = [padded(jnp.concatenate([reps_i, nb_c, reps_nb], axis=1))]
+        for k in range(M):
+            rep_nb = jnp.where(pad, sent, (k + 1) * Nk + nb)
+            rows.append(padded(jnp.concatenate(
+                [site[:, None], nb_c, rep_nb], axis=1)))
+        return jnp.concatenate(rows, axis=0)
 
 
 @pytree

@@ -38,27 +38,37 @@ def _window_step(beta_s, carry, inputs):
     """One move inside a window. Carry holds only pure-add state (no dynamic
     row writes — dynamic_update_slice in a scan carry forced whole-array
     copies, ~150us/move measured); per-move results leave via scan outputs."""
-    lf_cur, E = carry                                # lf_cur: [W, B] int32
-    k, Jw_k, u, s_k = inputs                         # Jw_k: [W]; u, s_k: [B]
-    dE = 2 * s_k * lf_cur[k]                         # exact int32
+    lf_cur, E = carry                 # lf_cur: [W, B] int32 (or float for
+    k, Jw_k, u, s_k = inputs          # float J); Jw_k: [W]; u, s_k: [B]
+    dE = 2 * s_k * lf_cur[k]          # exact int32 / float
     acc = (dE <= 0) | (u < jnp.exp(-beta_s * dE.astype(ftype())))
     d_k = jnp.where(acc, -2 * s_k, 0)                # [B] int32
     lf_cur = lf_cur + Jw_k[:, None] * d_k[None, :]
-    E = E + jnp.where(acc, dE, 0)
+    E = E + jnp.where(acc, dE, jnp.zeros_like(dE))
     return (lf_cur, E), (jnp.where(acc, -s_k, s_k), d_k, acc)
 
 
 @partial(jax.jit, static_argnames=("n_sweeps", "W"))
-def _run_dense_sweeps(J, beta_s, sigmaT, lfT, E, key, acc_count,
+def _run_dense_sweeps(J, h, beta_s, sigmaT, lfT, E, key, acc_count,
                       n_sweeps: int, W: int):
-    """sigmaT/lfT: [N, B] int32; J: [N, N] int8; E: [B] int32."""
+    """sigmaT: [N, B] int32; lfT: [N, B] int32 (integer J) or float (float
+    J, the GraphSKNormal case — same delayed-update algebra, f32/f64 rank-W
+    matmul commits); J: [N, N] int8/int32/float; E: [B] matching lfT.
+
+    Float J refreshes lf and E from scratch at every sweep end (one extra
+    [N,N]x[N,B] matmul per sweep) so rounding drift stays bounded by one
+    sweep's accumulation — the TPU-f32 analog of the reference's periodic
+    DynamicSampler refresh (/root/reference/src/DynamicSamplers.jl:84-98);
+    without it the running energy drifts visibly over ~1e4 f32 updates."""
     N, B = sigmaT.shape
     n_win = N // W
+    integer = jnp.issubdtype(J.dtype, jnp.integer)
+    acc_dt = jnp.int32 if integer else J.dtype
 
     def one_window(carry, rows_and_keys):
         sigmaT, lfT, E, acc_count = carry
         rows, ku = rows_and_keys                     # rows: [W] site ids
-        Jw = J[rows][:, rows].astype(jnp.int32)      # [W, W]
+        Jw = J[rows][:, rows].astype(acc_dt)         # [W, W]
         sig_w = sigmaT[rows]                         # [W, B]
         lf_w = lfT[rows]
         u = jax.random.uniform(ku, (W, B), ftype())
@@ -68,12 +78,14 @@ def _run_dense_sweeps(J, beta_s, sigmaT, lfT, E, key, acc_count,
             (jnp.arange(W), Jw, u, sig_w))
         sigmaT = sigmaT.at[rows].set(sig_new)
         # rank-W local-field update on the MXU: lf += J[:, rows] @ delta
-        # (int8 operands when J fits — delta is {0, +-2}; int32 otherwise)
-        mm_dt = jnp.int8 if J.dtype == jnp.int8 else jnp.int32
+        # (int8 operands when J fits, delta is {0, +-2}; int32 otherwise;
+        # float J commits in its own precision)
+        mm_dt = (jnp.int8 if J.dtype == jnp.int8
+                 else jnp.int32 if integer else J.dtype)
         upd = jax.lax.dot_general(
             J[rows].astype(mm_dt), delta.astype(mm_dt),
             dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)        # [N, B]
+            preferred_element_type=acc_dt)           # [N, B]
         lfT = lfT + upd
         acc_count = acc_count + accs.sum(axis=0, dtype=jnp.int32)
         return (sigmaT, lfT, E, acc_count), None
@@ -83,6 +95,15 @@ def _run_dense_sweeps(J, beta_s, sigmaT, lfT, E, key, acc_count,
         perm = jax.random.permutation(k_perm, N).reshape(n_win, W)
         kus = jax.random.split(k_u, n_win)
         carry, _ = jax.lax.scan(one_window, carry, (perm, kus))
+        if not integer:  # drift refresh (see docstring)
+            sigmaT_c, _, _, acc_count = carry
+            s = sigmaT_c.astype(acc_dt)
+            lfT_c = (jax.lax.dot_general(
+                J, s, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=acc_dt) + h.astype(acc_dt)[:, None])
+            E_c = -(jnp.sum(s * (lfT_c + h.astype(acc_dt)[:, None]),
+                            axis=0) / 2)
+            carry = (sigmaT_c, lfT_c, E_c, acc_count)
         return carry, carry[2]  # emit E per sweep
 
     keys = jax.random.split(key, n_sweeps)
@@ -144,10 +165,13 @@ def sweepMC_dense(model: FullyConnected, beta: float, sweeps: int, *,
     scan). backend="pallas": the typewriter-scan Pallas kernel
     (ops/sk_pallas.py, ~1e10 flips/s/chip; J VMEM-resident or HBM-streamed
     by size, N padded to the window internally); does not update `accepted`.
-    "auto" picks pallas on an accelerator when eligible."""
+    "auto" picks pallas on an accelerator when eligible.
+
+    Float J (GraphSKNormal, /root/reference/src/graphs/SK.jl:170-297) runs
+    the same delayed-update algebra with float local fields and f32/f64
+    rank-W MXU commits (XLA backend only)."""
     assert isinstance(model, FullyConnected), "requires a FullyConnected model"
-    assert jnp.issubdtype(model.J.dtype, jnp.integer), \
-        "dense sweep requires integer couplings (use GraphSK)"
+    integer = jnp.issubdtype(model.J.dtype, jnp.integer)
     N = model.N
     W = min(window, N)
     if N % W:  # largest divisor of N that fits the requested window
@@ -155,19 +179,25 @@ def sweepMC_dense(model: FullyConnected, beta: float, sweeps: int, *,
     if state is None:
         state = init_state(model, chains, seed, C0)
     if backend == "auto":
-        backend = ("pallas" if jax.default_backend() != "cpu"
+        backend = ("pallas" if integer and jax.default_backend() != "cpu"
                    and _pallas_dense_eligible(model, chains) else "xla")
     if backend == "pallas":
+        assert integer, "the Pallas dense kernel requires integer couplings"
         return _sweep_dense_pallas(model, beta, sweeps, step, seed, state)
     assert backend == "xla", backend
-    beta_s = jnp.asarray(2.0 * beta * model.scale, ftype())
-    J8 = (model.J.astype(jnp.int8) if _model_meta(model)["j_max"] <= 127
-          else model.J.astype(jnp.int32))
+    beta_s = jnp.asarray(beta * model.scale, ftype())
+    if integer:
+        Jm = (model.J.astype(jnp.int8) if _model_meta(model)["j_max"] <= 127
+              else model.J.astype(jnp.int32))
+        lf_dt = e_dt = jnp.int32
+    else:
+        Jm = model.J
+        lf_dt = e_dt = model.J.dtype
     key = jax.random.fold_in(jax.random.key(seed), 0x5EEb)
     sigT = state.sigma.T.astype(jnp.int32)
-    lfT = jax.vmap(model.local_fields)(state.sigma).T.astype(jnp.int32)
+    lfT = jax.vmap(model.local_fields)(state.sigma).T.astype(lf_dt)
     sigT, lfT, E, acc, E_series = _run_dense_sweeps(
-        J8, beta_s / 2.0, sigT, lfT, state.E.astype(jnp.int32), key,
+        Jm, model.h, beta_s, sigT, lfT, state.E.astype(e_dt), key,
         state.accepted, sweeps, W)
     state = MCState(sigma=sigT.T.astype(jnp.int8),
                     aux=lfT.T.astype(state.aux.dtype), E=E, key=state.key,

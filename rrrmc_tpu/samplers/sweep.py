@@ -186,10 +186,8 @@ def sweepMC(model: Pairwise, beta: float, sweeps: int, *, step: int = 1,
             meta["max_degree"] = int(jax.jit(
                 lambda J: jnp.max(jnp.sum(J != 0, axis=1)))(model.J))
         if meta["max_degree"] > 32:  # genuinely dense: coloring degenerates
-            if not jnp.issubdtype(model.J.dtype, jnp.integer):
-                raise NotImplementedError(
-                    "dense float-coupling models (e.g. GraphSKNormal) have "
-                    "no sweep kernel; use standardMC/bklMC/wtmMC/rrrMC")
+            # float J (GraphSKNormal) runs the same delayed-update scan with
+            # float local fields and f32/f64 rank-W MXU commits
             return sweepMC_dense(model, beta, sweeps, step=step,
                                  chains=chains, seed=seed, C0=C0,
                                  state=state, backend="xla")

@@ -46,11 +46,14 @@ def draw_times(key, model: Model, sigma, aux, beta, t_now):
 
 
 def make_wtm_move(model: Model, beta, tmax):
-    # models with a neighbor table (Pairwise family) redraw only the flipped
-    # spin's clock and its neighbors' — the reference's exact update
-    # (/root/reference/src/WaitingTimes.jl:39-51) and O(deg) instead of O(N)
-    # RNG per move; others redraw everything (valid by memorylessness)
-    neigh = getattr(model, "neigh", None)
+    # models with an affected-spin table (Pairwise family, and all composite
+    # wrappers via their neighbor_table overrides) redraw only the flipped
+    # spin's clock and its affected spins' — the reference's exact update
+    # (/root/reference/src/WaitingTimes.jl:39-51), O(deg) RNG +
+    # transcendentals per move instead of O(N); fully-connected models redraw
+    # everything (reference-parity: their `neighbors` is AllButOne,
+    # /root/reference/src/graphs/SK.jl:165; valid by memorylessness)
+    neigh = model.neighbor_table()
 
     def move1(sigma, aux, E, key, accepted, t, times):
         active = t < tmax
@@ -65,8 +68,12 @@ def make_wtm_move(model: Model, beta, tmax):
             times = jnp.where(active, fresh, times)
         else:
             idx = jnp.concatenate([i[None], neigh[i]])   # [K+1]; pad = N
-            dEs = model.to_physical(jax.vmap(
-                lambda j: model.delta_one(sigma, aux, j))(idx))
+            # one vectorized delta_all pass (cheap: elementwise off aux for
+            # most models), gathered at the affected spins with a zero
+            # sentinel slot; RNG/exp/log run only on the [K+1] slice
+            dE_all = model.to_physical(model.delta_all(sigma, aux))
+            dEs = jnp.concatenate(
+                [dE_all, jnp.zeros((1,), dE_all.dtype)])[idx]
             log_tau = jnp.maximum(beta * dEs, 0.0)
             u = jax.random.uniform(k_redraw, idx.shape, times.dtype)
             wt = -jnp.exp(log_tau) * jnp.log1p(-u)

@@ -109,6 +109,60 @@ def test_sampler_energy_invariant(name):
         assert np.all(np.isfinite(np.asarray(Es)))
 
 
+TABLE_MODELS = ["QSKT", "Q0T", "QEAT", "SKRE", "EARE", "SKLE", "EALE",
+                "SKTLE", "EATLE", "AddFields", "Mixed", "RE(Q(SK))"]
+
+
+@pytest.mark.parametrize("name", TABLE_MODELS)
+def test_neighbor_table_covers_delta_changes(name):
+    """Exact coverage check of the composite affected-spin tables feeding
+    wtmMC's neighbor-only clock redraw: flipping spin i may only change
+    delta_one(j) for j in neighbor_table()[i] (plus i itself) — a missing
+    entry would leave a stale WTM clock and silently break the sampling law
+    (/root/reference/src/WaitingTimes.jl:39-51)."""
+    model = ZOO[name]
+    tbl = model.neighbor_table()
+    if tbl is None:
+        pytest.skip("model falls back to full redraw")
+    n = model.N
+    tbl = np.asarray(tbl)
+    allowed = np.zeros((n, n + 1), bool)
+    allowed[np.arange(n)[:, None], np.clip(tbl, 0, n)] = True
+    allowed[np.arange(n), np.arange(n)] = True  # the flipped spin itself
+    sigma0 = random_spins(jax.random.key(3), n)
+
+    @jax.jit
+    def deltas_after_each_flip(sigma):
+        aux = model.init_aux(sigma)
+        d0 = model.to_physical(model.delta_all(sigma, aux))
+
+        def one(i):
+            s2, a2 = model.flip(sigma, aux, i, jnp.asarray(True))
+            return model.to_physical(model.delta_all(s2, a2))
+
+        return d0, jax.vmap(one)(jnp.arange(n))
+
+    d0, d1 = deltas_after_each_flip(sigma0)
+    changed = np.abs(np.asarray(d1) - np.asarray(d0)[None, :]) > 1e-9
+    bad = changed & ~allowed[:, :n]
+    assert not bad.any(), np.argwhere(bad)[:10]
+
+
+@pytest.mark.parametrize("name", ["QSKT", "SKRE"])
+def test_wtm_wrapper_stationarity(name):
+    """wtmMC with the derived composite tables must still sample the exact
+    Boltzmann law on small wrapper models."""
+    model = {"QSKT": rt.GraphQSKT(3, 4, 0.6, 1.5, seed=21),
+             "SKRE": rt.GraphSKRE(3, 4, 0.4, 1.5, seed=23)}[name]
+    beta = 1.5
+    E_exact = _boltzmann_mean_energy(model, beta)
+    Es, _ = rt.wtmMC(model, beta, samples=400, step=20.0, chains=64, seed=9)
+    Es = np.asarray(Es)[:, 100:]
+    err = abs(Es.mean() - E_exact)
+    sem = Es.std() / np.sqrt(Es.shape[0] * 3.0)
+    assert err < max(5 * sem, 0.05), (err, sem, E_exact)
+
+
 def _boltzmann_mean_energy(model, beta):
     from rrrmc_tpu.observables import unpack_config
     n = model.N
