@@ -1,0 +1,281 @@
+"""Pallas TPU kernel for rejection-free sampling (BKL / WTM) on EA lattices.
+
+The reference's namesake samplers pick each move from the acceptance-weight
+distribution w_i = min(1, e^{-beta dE_i}) maintained by O(1) class buckets
+(/root/reference/src/DeltaE.jl:63-167) or a heap
+(/root/reference/src/WaitingTimes.jl). Vectorized over chains, per-chain site
+selection is the hard TPU problem: each chain (lane) picks a DIFFERENT site
+(sublane row), and Mosaic has no per-lane dynamic row addressing
+(tpu.dynamic_gather does not lower on v5e — measured round 1), so the
+reference's O(deg) bucket updates cannot be reproduced in-kernel. What CAN be
+done at full VPU rate is an O(N)-per-move dense formulation with every pass a
+fused [N, BT] vector op:
+
+* selection = **exponential race**: t_i = Exp(1)/w_i, the argmin is
+  distributed ~ w_i (exactly the WTM clock construction,
+  /root/reference/src/WaitingTimes.jl:15-21). In log space
+  score_i = log(-log u_i) + beta*dE_i^+ avoids overflow at any beta; the
+  winner is extracted as a min-reduce + first-match one-hot (exact, no ties);
+* the local-field table is recomputed from the in-VMEM spins each move via
+  the lattice roll identity (same rolls as ops/sweep_pallas.py) — stateless,
+  so masked no-op moves cannot desync anything;
+* the flip is a one-hot masked negate; dE and z come from sublane reduces.
+
+Per accepted move this is ~50 vector passes over [N, BT] — ~1e8 accepted
+chain-moves/s at N=512 vs ~1.5e7 for the XLA single-move path, and each BKL
+move advances time by skip+1 ~ N/z virtual Metropolis iterations (factor
+1e2-1e5 at low T, /root/reference/scripts/scripts.jl:35), so effective
+virtual-iteration throughput far exceeds the Metropolis sweep kernel in the
+low-acceptance regime the rejection-free samplers exist for.
+
+Both samplers share the kernel; they differ only in the time bookkeeping:
+
+* BKL: coordinate = virtual iteration count; skip ~ Geometric(z/N) with
+  z = sum_i w_i (rand_skip, /root/reference/src/DeltaE.jl:141-144);
+* WTM: coordinate = global time; advance = the winning race time exp(min
+  score). Redrawing ALL clocks each move is distributionally identical to
+  the reference's neighbor-only redraw by exponential memorylessness (the
+  same argument as samplers/wtm.py's dense fallback), and here it is free:
+  the race scores ARE the redraw.
+
+Checkpoints: the kernel emits per-move (coordinate, E) streams; the driver
+fills the checkpoint grid with samplers.bkl._fill_checkpoints — the batch
+generalization of the reference's drain loops
+(/root/reference/src/RRRMC.jl:339-344,402-407).
+
+Restricted to integer-coupling, field-free LatticeEA (as the sweep kernel).
+Exact int32 energies; the sampling law is exact up to f32 rounding of the
+race scores (same order as the f32 exp() in every Metropolis kernel here).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .prng import interpret_params, program_seed, random_bits
+from .sweep_pallas import _build_dir_tables
+
+_INTERPRET = interpret_params()
+
+#: BKL skip cap: bounds coordinate growth so int32 never overflows
+#: (iters <= 1e9 enforced by the driver)
+_SKIP_CAP = 1.0e9
+
+
+def _rejfree_kernel(seed_ref, beta2s_ref, target_ref, jp_ref, jm_ref,
+                    sigma_ref, E_ref, coord_ref,
+                    sigma_out, E_out, coord_out, cs_out, es_out,
+                    *, L, D, BT, n_moves, wtm):
+    """One chunk of `n_moves` rejection-free moves for a [N, BT] chain block.
+
+    coord_ref/coord_out/cs_out: f32 global time (wtm) or int32 virtual
+    iterations (bkl). Chains whose coordinate reached target_ref[0] keep
+    racing but apply nothing (masked no-ops; the stream rows they emit are
+    idempotent for the checkpoint fill)."""
+    N = L ** D
+    seed_p = program_seed(seed_ref[0], pl.program_id(0))
+    pltpu.prng_seed(seed_p)
+    salt0 = seed_p * jnp.int32(1000003)
+    beta2s = beta2s_ref[0]
+    target = target_ref[0]
+
+    idx = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
+    strides = [L ** (D - 1 - d) for d in range(D)]
+    coords_ = [(idx // s) % L for s in strides]
+    wrap_hi = [c == (L - 1) for c in coords_]
+    wrap_lo = [c == 0 for c in coords_]
+    iota_nb = jax.lax.broadcasted_iota(jnp.int32, (N, BT), 0)
+
+    def roll_up(x, k):
+        return pltpu.roll(x, N - k, axis=0)
+
+    def local_fields(sig):
+        lf = jnp.zeros((N, BT), jnp.int32)
+        for d, s in enumerate(strides):
+            nb_p = jnp.where(wrap_hi[d],
+                             roll_up(sig, N - s * (L - 1)),
+                             roll_up(sig, s))
+            nb_m = jnp.where(wrap_lo[d],
+                             roll_up(sig, s * (L - 1)),
+                             roll_up(sig, N - s))
+            lf = lf + jp_ref[:, d][:, None] * nb_p \
+                    + jm_ref[:, d][:, None] * nb_m
+        return lf
+
+    inv32 = jnp.float32(2.0 ** -32)
+    half_f = jnp.float32(0.5)
+
+    def to_uniform(rb):
+        """int32 bits -> u in [0, 1) (one f32 convert; u = 0 has prob 2^-32
+        and makes that site's race time +inf => simply never picked)."""
+        return rb.astype(jnp.float32) * inv32 + half_f
+
+    def move(m, carry):
+        sig, E, coord = carry
+        active = coord < target                       # [1, BT]
+        half = sig * local_fields(sig)                # dE_int = 2*half
+        bE = beta2s * jnp.maximum(half, 0).astype(jnp.float32)
+        u = to_uniform(random_bits((N, BT), salt0 + 3 * m))
+        score = jnp.log(-jnp.log(u)) + bE             # log race time
+        mrow = jnp.min(score, axis=0, keepdims=True)  # [1, BT]
+        sel = score == mrow
+        imin = jnp.min(jnp.where(sel, iota_nb, N), axis=0, keepdims=True)
+        onehot = iota_nb == imin                      # exact single winner
+        dE_i = jnp.sum(jnp.where(onehot, 2 * half, 0), axis=0,
+                       keepdims=True, dtype=jnp.int32)
+        sig = jnp.where(onehot & active, -sig, sig)
+        E = E + jnp.where(active, dE_i, 0)
+        if wtm:
+            coord = coord + jnp.where(active, jnp.exp(mrow),
+                                      jnp.float32(0.0))
+        else:
+            z = jnp.sum(jnp.exp(-bE), axis=0, keepdims=True)   # [1, BT]
+            u2 = to_uniform(random_bits((1, BT), salt0 + 3 * m + 1))
+            p = z * jnp.float32(1.0 / N)
+            denom = jnp.log1p(-jnp.minimum(p, jnp.float32(1 - 1e-6)))
+            sk = jnp.floor(jnp.log(jnp.maximum(1 - u2, jnp.float32(1e-38)))
+                           / denom)
+            skip = jnp.minimum(sk, jnp.float32(_SKIP_CAP)).astype(jnp.int32)
+            skip = jnp.where(p >= 1.0, 0, skip)
+            coord = coord + jnp.where(active, skip + 1, 0)
+        cs_out[pl.ds(m, 1), :] = coord
+        es_out[pl.ds(m, 1), :] = E
+        return sig, E, coord
+
+    sig0 = sigma_ref[:].astype(jnp.int32)
+    sig, E, coord = jax.lax.fori_loop(
+        0, n_moves, move, (sig0, E_ref[:], coord_ref[:]))
+    sigma_out[:] = sig.astype(jnp.int8)
+    E_out[:] = E
+    coord_out[:] = coord
+
+
+@partial(jax.jit, static_argnames=("L", "D", "block_chains", "n_moves",
+                                   "wtm"))
+def _pallas_rejfree_chunk(sigma, E, coord, Jp, Jm, seed, beta2s, target, *,
+                          L, D, block_chains, n_moves, wtm):
+    """sigma [B, N] int8, E [B] int32, coord [B] (f32 wtm / i32 bkl) ->
+    (sigma', E', coord', coord_stream [n_moves, B], E_stream [n_moves, B])."""
+    sigmaT = sigma.T
+    N, B = sigmaT.shape
+    BT = block_chains
+    grid = (B // BT,)
+    ct = jnp.float32 if wtm else jnp.int32
+    kernel = partial(_rejfree_kernel, L=L, D=D, BT=BT, n_moves=n_moves,
+                     wtm=wtm)
+    row = pl.BlockSpec((1, BT), lambda j: (0, j), memory_space=pltpu.VMEM)
+    stream = pl.BlockSpec((n_moves, BT), lambda j: (0, j),
+                          memory_space=pltpu.VMEM)
+    sig_out, E_out, coord_out, cs, es = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # seed
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # beta2s
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # target
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # Jp [N, D]
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # Jm [N, D]
+            pl.BlockSpec((N, BT), lambda j: (0, j), memory_space=pltpu.VMEM),
+            row,                                        # E
+            row,                                        # coord
+        ],
+        out_specs=[
+            pl.BlockSpec((N, BT), lambda j: (0, j), memory_space=pltpu.VMEM),
+            row, row, stream, stream,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, B), jnp.int8),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+            jax.ShapeDtypeStruct((1, B), ct),
+            jax.ShapeDtypeStruct((n_moves, B), ct),
+            jax.ShapeDtypeStruct((n_moves, B), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_INTERPRET,
+    )(seed, beta2s, target, Jp, Jm, sigmaT, E[None, :].astype(jnp.int32),
+      coord[None, :].astype(ct))
+    return sig_out.T, E_out[0], coord_out[0], cs, es
+
+
+@partial(jax.jit, static_argnames=("L", "D", "bt", "chunk_moves", "wtm"))
+def rejfree_run(Jp, Jm, beta2s, sigma, E, coord, Es, seed0, target, step,
+                scale, *, L, D, bt, chunk_moves, wtm):
+    """Whole hookless rejection-free run in ONE jit: lax.while_loop over
+    kernel chunks, checkpoint grid filled per chunk from the (coordinate, E)
+    streams (no host sync; the Pallas analog of samplers.bkl._bkl_run).
+
+    target/step: scalar arrays (i32 iters / f32 tmax); scale: physical-unit
+    conversion for the emitted int32 energies."""
+    from ..samplers.bkl import _fill_checkpoints
+
+    target_arr = target.reshape(1)
+
+    def cond(carry):
+        _, _, coord, _, _ = carry
+        return jnp.min(coord) < target
+
+    def body(carry):
+        sigma, E, coord, Es, k = carry
+        seed = (seed0 + k * jnp.int32(7919)).reshape(1)
+        x_start = coord
+        e_start = E.astype(Es.dtype) * scale
+        sigma, E, coord, cs, es = _pallas_rejfree_chunk(
+            sigma, E, coord, Jp, Jm, seed, beta2s, target_arr,
+            L=L, D=D, block_chains=bt, n_moves=chunk_moves, wtm=wtm)
+        Es = _fill_checkpoints(Es, step, x_start, e_start, cs,
+                               es.astype(Es.dtype) * scale)
+        return sigma, E, coord, Es, k + 1
+
+    k0 = jnp.zeros((), jnp.int32)
+    sigma, E, coord, Es, _ = jax.lax.while_loop(
+        cond, body, (sigma, E, coord, Es, k0))
+    return sigma, E, coord, Es
+
+
+def pallas_rejfree_eligible(model, chains: int) -> bool:
+    from ..models.lattice import LatticeEA
+    return (isinstance(model, LatticeEA)
+            and jnp.issubdtype(model.Jd.dtype, jnp.integer)
+            and model.N >= 8
+            and int(jnp.max(jnp.abs(model.h))) == 0
+            and chains % 128 == 0)
+
+
+class PallasRejectionFree:
+    """Reusable rejection-free runner for an integer LatticeEA model.
+
+    mode = "bkl" (virtual-iteration coordinate) or "wtm" (global time)."""
+
+    def __init__(self, model, beta: float, mode: str, *,
+                 block_chains: int = 128, chunk_moves: int = 1024):
+        from ..models.lattice import LatticeEA
+
+        assert isinstance(model, LatticeEA)
+        assert mode in ("bkl", "wtm")
+        assert jnp.issubdtype(model.Jd.dtype, jnp.integer)
+        assert int(jnp.max(jnp.abs(model.h))) == 0, "fields unsupported"
+        assert model.N >= 8, "sublane tiling needs N >= 8"
+        Jp, Jm = _build_dir_tables(model)
+        self.Jp, self.Jm = jnp.asarray(Jp), jnp.asarray(Jm)
+        self.beta2s = jnp.asarray([2.0 * beta * model.scale], jnp.float32)
+        self.model, self.mode = model, mode
+        self.L, self.D = model.L, model.D
+        self.block_chains = block_chains
+        self.chunk_moves = chunk_moves
+
+    def chunk(self, sigma, E, coord, *, seed, target):
+        """Advance every chain by `chunk_moves` rejection-free moves."""
+        return _pallas_rejfree_chunk(
+            sigma, E, coord, self.Jp, self.Jm,
+            jnp.asarray([seed], jnp.int32), self.beta2s,
+            jnp.asarray([target],
+                        jnp.float32 if self.mode == "wtm" else jnp.int32),
+            L=self.L, D=self.D, block_chains=self.block_chains,
+            n_moves=self.chunk_moves, wtm=(self.mode == "wtm"))

@@ -161,18 +161,37 @@ def parallel_tempering(model: Pairwise, betas, n_rounds: int, *,
     T = betas.shape[0]
     masks = (model.sweep_masks() if hasattr(model, "sweep_masks")
              else color_masks(model))
-    if state is None:
-        state = init_pt_state(model, betas, chains, seed)
     if mesh is not None:
         assert T % mesh.shape[axis] == 0, (T, mesh.shape)
         if chain_axis is not None:
             assert chains % mesh.shape[chain_axis] == 0
-        state = jax.tree.map(
-            lambda x: jax.device_put(x, NamedSharding(
-                mesh, P(axis, *([chain_axis] + [None] * (x.ndim - 2))
-                        if x.ndim >= 2 else ()))), state)
+
+        def spec_of(ndim):
+            return (P(axis, *([chain_axis] + [None] * (ndim - 2)))
+                    if ndim >= 2 else P())
+
+        if state is None:
+            # build the PT state as one jitted SPMD program with sharded
+            # outputs — works on multi-process meshes where an eager
+            # device_put to non-addressable devices is rejected, and keeps
+            # PRNG-key leaves on device
+            import numpy as _np
+            model_h = jax.tree.map(
+                lambda x: _np.asarray(jax.device_get(x)), model)
+            bl = [float(b) for b in np.asarray(betas)]
+            build = lambda m: init_pt_state(m, bl, chains, seed)  # noqa: E731
+            shapes = jax.eval_shape(build, model_h)
+            shard = jax.tree.map(
+                lambda s: NamedSharding(mesh, spec_of(s.ndim)), shapes)
+            state = jax.jit(build, out_shardings=shard)(model_h)
+        else:
+            state = jax.tree.map(
+                lambda x: jax.device_put(
+                    x, NamedSharding(mesh, spec_of(x.ndim))), state)
         axis_name = axis
     else:
+        if state is None:
+            state = init_pt_state(model, betas, chains, seed)
         axis_name = None
         chain_axis = None
     base_key = jax.random.key(seed ^ 0x5EED)

@@ -108,16 +108,65 @@ def _fill_checkpoints(Es, step, x_start, e_start, xs, evs):
         Es, xs, evs, e_start, x_start)
 
 
+#: cached PallasRejectionFree runners (their ctors run eager table builds)
+_REJFREE_CACHE: dict = {}
+
+
+def _rejfree_mc(model, beta: float, mode: str, target, step, chains: int,
+                seed: int, state: MCState, n_ckpt: int,
+                chunk_moves: int = 1024, block_chains: int = 128):
+    """Shared Pallas rejection-free driver for bklMC / wtmMC on integer
+    LatticeEA models (ops/rejfree_pallas.py). Hookless only; `accepted` is
+    not updated (as the other Pallas paths)."""
+    import jax.numpy as jnp
+    from ..ops.rejfree_pallas import PallasRejectionFree, rejfree_run
+    from .common import bound_cache_put, init_aux_batch
+
+    assert chains % block_chains == 0, (chains, block_chains)
+    key = (id(model.Jd), float(beta), mode, chunk_moves, block_chains)
+    ent = _REJFREE_CACHE.get(key)
+    if ent is None or ent[0] is not model.Jd:
+        ent = (model.Jd, PallasRejectionFree(
+            model, beta, mode, block_chains=block_chains,
+            chunk_moves=chunk_moves))
+        bound_cache_put(_REJFREE_CACHE, key, ent)
+    rf = ent[1]
+    wtm = mode == "wtm"
+    ct = jnp.float32 if wtm else jnp.int32
+    Es = jnp.zeros((chains, n_ckpt), ftype())
+    coord = jnp.zeros((chains,), ct)
+    sigma, E, coord, Es = rejfree_run(
+        rf.Jp, rf.Jm, rf.beta2s, state.sigma, state.E.astype(jnp.int32),
+        coord, Es, jnp.asarray(seed % (2 ** 31), jnp.int32),
+        jnp.asarray(target, ct), jnp.asarray(step, ct),
+        jnp.asarray(model.scale, ftype()),
+        L=rf.L, D=rf.D, bt=block_chains, chunk_moves=chunk_moves, wtm=wtm)
+    aux = init_aux_batch(model, sigma)
+    return Es, MCState(sigma=sigma, aux=aux, E=E.astype(state.E.dtype),
+                       key=state.key, accepted=state.accepted)
+
+
 def bklMC(model: Model, beta: float, iters: int, *, step: int = 1,
           chains: int = 1, seed: int = DEFAULT_SEED, C0=None,
           chunk_moves: int = 512, hook=None,
-          state: Optional[MCState] = None):
+          state: Optional[MCState] = None, backend: str = "auto"):
     """Rejection-free BKL; `iters` counts virtual (rejected-inclusive)
     iterations. Returns (Es [chains, iters // step], final MCState).
-    hook(it, model, state) -> False stops early (called once per chunk)."""
+    hook(it, model, state) -> False stops early (called once per chunk).
+
+    backend: "pallas" / "auto" route hookless runs on integer LatticeEA
+    models (chains % 128 == 0, iters <= 1e9) through the VMEM-resident
+    rejection-free kernel (ops/rejfree_pallas.py, ~50-100x the XLA
+    single-move path); "xla" forces the generic path."""
     if state is None:
         state = init_state(model, chains, seed, C0)
     n_ckpt = iters // step
+    if hook is None and backend != "xla" and iters <= 10 ** 9:
+        from ..ops.rejfree_pallas import pallas_rejfree_eligible
+        if backend == "pallas" or (jax.default_backend() != "cpu"
+                                   and pallas_rejfree_eligible(model, chains)):
+            return _rejfree_mc(model, float(beta), "bkl", iters, step,
+                               chains, seed, state, n_ckpt)
     Es = jnp.zeros((chains, n_ckpt), ftype())
     it = jnp.zeros(chains, jnp.int64 if jax.config.jax_enable_x64 else jnp.int32)
     if hook is None:

@@ -127,15 +127,26 @@ def _wtm_run(model, beta, tmax, step_t, chunk_moves, state: MCState,
 def wtmMC(model: Model, beta: float, samples: int, *, step: float = 1.0,
           chains: int = 1, seed: int = DEFAULT_SEED, C0=None,
           chunk_moves: int = 512, hook=None,
-          state: Optional[MCState] = None):
+          state: Optional[MCState] = None, backend: str = "auto"):
     """Waiting-time method; collects up to `samples` checkpoints spaced
     `step` (scaled by 1/N) in global time. Returns (Es [chains, samples],
-    final MCState). hook(t, model, state) -> False stops early."""
+    final MCState). hook(t, model, state) -> False stops early.
+
+    backend: "pallas" / "auto" route hookless runs on integer LatticeEA
+    models (chains % 128 == 0) through the VMEM-resident rejection-free
+    kernel (ops/rejfree_pallas.py); "xla" forces the generic path."""
     if state is None:
         state = init_state(model, chains, seed, C0)
     ft = ftype()
     step_t = float(step) / model.N
     tmax = step_t * samples
+    if hook is None and backend != "xla":
+        from ..ops.rejfree_pallas import pallas_rejfree_eligible
+        if backend == "pallas" or (jax.default_backend() != "cpu"
+                                   and pallas_rejfree_eligible(model, chains)):
+            from .bkl import _rejfree_mc
+            return _rejfree_mc(model, float(beta), "wtm", tmax, step_t,
+                               chains, seed, state, samples)
     key_times = jax.vmap(
         lambda k: jax.random.fold_in(k, 0x77777))(state.key)
     times = jax.jit(jax.vmap(

@@ -1,0 +1,98 @@
+"""Rejection-free (BKL/WTM) Pallas kernel validation in interpreter mode.
+
+The checkpoint-series energy mean is the load-bearing law test: BKL/WTM
+checkpoint streams weight each state by its holding time (skip counts /
+waiting times), so the series mean equals the Boltzmann average ONLY if both
+the move selection (∝ min(1, e^{-beta dE})) AND the time bookkeeping
+(geometric skips / exponential waits) are correct — a bug in either shows up
+as a biased mean even when the energy invariant is exact.
+"""
+
+import importlib
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def rejfree_interp():
+    os.environ["RRRMC_PALLAS_INTERPRET"] = "1"
+    import rrrmc_tpu.ops.rejfree_pallas as rp
+    importlib.reload(rp)
+    yield rp
+    os.environ.pop("RRRMC_PALLAS_INTERPRET")
+    importlib.reload(rp)
+
+
+def _boltzmann_mean(model, beta):
+    from rrrmc_tpu.observables import unpack_config
+    states = unpack_config(jnp.arange(2 ** model.N, dtype=jnp.int32), model.N)
+    E = np.asarray(jax.jit(jax.vmap(
+        lambda s: model.to_physical(model.energy(s))))(states), np.float64)
+    w = np.exp(-beta * (E - E.min()))
+    return float((w * E).sum() / w.sum())
+
+
+def test_bkl_pallas_invariant_3d(rejfree_interp):
+    import rrrmc_tpu as rt
+
+    X = rt.GraphEA(4, 3, (-1, 1), seed=5)    # N = 64
+    Es, st = rt.bklMC(X, 2.0, iters=20_000, step=200, chains=128, seed=3,
+                      backend="pallas")
+    E_re = jax.jit(jax.vmap(X.energy))(st.sigma)
+    np.testing.assert_array_equal(np.asarray(E_re), np.asarray(st.E))
+    assert np.all(np.isfinite(np.asarray(Es)))
+    # equilibrium energy agrees with the XLA bkl path (same law)
+    Ex, _ = rt.bklMC(X, 2.0, iters=20_000, step=200, chains=128, seed=4,
+                     backend="xla")
+    a = np.asarray(Es)[:, 50:].mean() / X.N
+    b = np.asarray(Ex)[:, 50:].mean() / X.N
+    assert abs(a - b) < 0.02, (a, b)
+
+
+def test_wtm_pallas_invariant_odd_L(rejfree_interp):
+    """Odd L: no checkerboard exists, but rejection-free needs no coloring."""
+    import rrrmc_tpu as rt
+
+    X = rt.GraphEA(5, 2, (-1, 1), seed=7)    # N = 25, odd L
+    Es, st = rt.wtmMC(X, 2.0, samples=80, step=20.0, chains=128, seed=5,
+                      backend="pallas")
+    E_re = jax.jit(jax.vmap(X.energy))(st.sigma)
+    np.testing.assert_array_equal(np.asarray(E_re), np.asarray(st.E))
+    assert np.all(np.isfinite(np.asarray(Es)))
+
+
+@pytest.mark.parametrize("mode", ["bkl", "wtm"])
+def test_rejfree_pallas_boltzmann(rejfree_interp, mode):
+    """Time-weighted checkpoint mean vs exact 2^N Boltzmann enumeration."""
+    import rrrmc_tpu as rt
+
+    X = rt.GraphEA(4, 2, (-1, 1), seed=11)   # N = 16
+    beta = 1.0
+    E_exact = _boltzmann_mean(X, beta)
+    if mode == "bkl":
+        Es, _ = rt.bklMC(X, beta, iters=60_000, step=200, chains=128, seed=9,
+                         backend="pallas")
+    else:
+        Es, _ = rt.wtmMC(X, beta, samples=300, step=40.0, chains=128, seed=9,
+                         backend="pallas")
+    Es = np.asarray(Es)
+    got = Es[:, Es.shape[1] // 4:].mean()
+    sem = Es[:, Es.shape[1] // 4:].std() / np.sqrt(Es.shape[0] * 3.0)
+    assert abs(got - E_exact) < max(5 * sem, 0.05), (got, E_exact, sem)
+
+
+def test_bkl_pallas_warm_start(rejfree_interp):
+    """state round trip: a second run continues from the returned MCState."""
+    import rrrmc_tpu as rt
+
+    X = rt.GraphEA(4, 3, (-1, 1), seed=6)
+    _, st = rt.bklMC(X, 2.0, iters=2_000, step=200, chains=128, seed=3,
+                     backend="pallas")
+    Es2, st2 = rt.bklMC(X, 2.0, iters=2_000, step=200, chains=128, seed=8,
+                        backend="pallas", state=st)
+    E_re = jax.jit(jax.vmap(X.energy))(st2.sigma)
+    np.testing.assert_array_equal(np.asarray(E_re), np.asarray(st2.E))
