@@ -168,3 +168,141 @@ def config_series_observer():
     def obs(model, sigma, aux, E):
         return sigma
     return obs
+
+
+# ---------------------------------------------------------------------------
+# Full overlap pipeline — the reference's stats_overlaps machinery
+# (parseovs/parsexovs/stats_overlaps, scripts.jl:368-523): self overlaps over
+# time pairs within a log window of one run, cross overlaps over time pairs
+# between TWO independent runs of the same disorder, means + population stds
+# per window, averaged across disorder realizations.
+#
+# TPU formulation: the chain axis supplies the independent runs — chains
+# (2i, 2i+1) form the reference's (s1, s2) run pairs. All windowed Gram
+# matrices are computed ON DEVICE in one jit (bf16 matmuls with f32
+# accumulation — exact for +-1 spins at any N < 2^24); only the per-window
+# moments are materialized on the host.
+# ---------------------------------------------------------------------------
+
+def log_windows(times, *, t0: Optional[float] = None, incr: float = 2.0):
+    """Checkpoint-index windows [a, b) whose times fall in
+    [t0*incr^k, t0*incr^(k+1)) — the reference's LogRange(step, ., step, incr)
+    windowing (scripts.jl:485,393). Returns (windows, t_centers)."""
+    times = np.asarray(times, np.float64)
+    if t0 is None:
+        t0 = float(times[0])
+    edges_t, t = [], t0
+    while t <= times[-1] * (1 + 1e-12):
+        edges_t.append(t)
+        t *= incr
+    edges_t.append(t)
+    idx = np.searchsorted(times, np.array(edges_t) * (1 - 1e-12))
+    windows, centers = [], []
+    for k in range(len(edges_t) - 1):
+        a, b = int(idx[k]), int(idx[k + 1])
+        if b - a >= 1:
+            windows.append((a, b))
+            centers.append(edges_t[k])
+    return windows, np.array(centers)
+
+
+@jax.jit
+def _overlap_moments_device(configs, idx, valid):
+    """Per-window overlap moments, all on device.
+
+    configs: [B, n, N] +-1 spins (B even: chains 2i/2i+1 are run pairs);
+    idx/valid: [W, wmax] padded checkpoint indices per window.
+    Returns (mq2, sq2, mx2, sx2) each [W]: self/cross second moments and
+    their population stds (parseovs/parsexovs, scripts.jl:368-458)."""
+    B, n, N = configs.shape
+    S = configs.astype(jnp.bfloat16)
+    # [B, W, wmax, N] windowed snapshots (exact bf16 +-1 values)
+    Sw = jnp.take(S, idx, axis=1) * valid[None, :, :, None].astype(jnp.bfloat16)
+    inv = 1.0 / N
+    pair_ok = (valid[:, :, None] & valid[:, None, :]).astype(jnp.float32)
+    # self: distinct time pairs within each window of the SAME run
+    G = jnp.einsum("bwun,bwvn->bwuv", Sw, Sw,
+                   preferred_element_type=jnp.float32) * inv
+    wmax = idx.shape[1]
+    iu = jnp.triu(jnp.ones((wmax, wmax), jnp.float32), k=1)
+    m_self = pair_ok * iu[None]
+    q2 = G * G
+    n_self = jnp.maximum(jnp.sum(m_self, axis=(1, 2)), 1.0)      # [W]
+    mq2 = jnp.sum(q2 * m_self[None], axis=(0, 2, 3)) / (B * n_self)
+    mq4 = jnp.sum(q2 * q2 * m_self[None], axis=(0, 2, 3)) / (B * n_self)
+    sq2 = jnp.sqrt(jnp.maximum(0.0, mq4 - mq2 ** 2))
+    # cross: ALL time pairs between the two runs of each pair (incl. equal
+    # times, parsexovs scripts.jl:434-449)
+    H = jnp.einsum("bwun,bwvn->bwuv", Sw[0::2], Sw[1::2],
+                   preferred_element_type=jnp.float32) * inv
+    x2 = H * H
+    n_x = jnp.maximum(jnp.sum(pair_ok, axis=(1, 2)), 1.0)
+    P = B // 2
+    mx2 = jnp.sum(x2 * pair_ok[None], axis=(0, 2, 3)) / (P * n_x)
+    mx4 = jnp.sum(x2 * x2 * pair_ok[None], axis=(0, 2, 3)) / (P * n_x)
+    sx2 = jnp.sqrt(jnp.maximum(0.0, mx4 - mx2 ** 2))
+    return mq2, sq2, mx2, sx2
+
+
+def overlap_stats(configs, times, *, t0: Optional[float] = None,
+                  incr: float = 2.0) -> Dict[str, np.ndarray]:
+    """Windowed self/cross overlap statistics of one disorder realization —
+    one 'overlaps_<tag>_sx<seed>.txt' of the reference (scripts.jl:505-519).
+
+    configs: [B, n_ckpt, N] +-1 snapshots (device or host; B even — chains
+    2i, 2i+1 play the reference's two independent runs s1/s2);
+    times: [n_ckpt] checkpoint times (nominal mct or wtm global time).
+    Returns {"t", "q2_mean", "q2_std", "x2_mean", "x2_std"} per log window."""
+    B = configs.shape[0]
+    if B % 2:
+        raise ValueError("overlap_stats needs an even number of chains "
+                         "(chains 2i/2i+1 form the reference's run pairs)")
+    windows, centers = log_windows(times, t0=t0, incr=incr)
+    wmax = max(b - a for a, b in windows)
+    idx = np.zeros((len(windows), wmax), np.int32)
+    val = np.zeros((len(windows), wmax), bool)
+    for k, (a, b) in enumerate(windows):
+        idx[k, : b - a] = np.arange(a, b)
+        val[k, : b - a] = True
+    mq2, sq2, mx2, sx2 = _overlap_moments_device(
+        jnp.asarray(configs), jnp.asarray(idx), jnp.asarray(val))
+    return {"t": centers, "q2_mean": np.asarray(mq2), "q2_std": np.asarray(sq2),
+            "x2_mean": np.asarray(mx2), "x2_std": np.asarray(sx2)}
+
+
+def stats_overlaps(builder: Callable, sampler: Callable, beta: float,
+                   iters, *, chains: int = 16, step=None, n_disorder: int = 4,
+                   seed: int = 8370274, t0: Optional[float] = None,
+                   incr: float = 2.0, sampler_kw: Optional[Dict] = None
+                   ) -> Dict[str, np.ndarray]:
+    """Disorder-averaged overlap table — the reference's stats_overlaps
+    pipeline end-to-end (scripts.jl:460-523): for each disorder seed, run
+    `sampler` with on-chip snapshot collection, window the snapshots
+    log-uniformly, and average the per-window self/cross overlap moments
+    across realizations.
+
+    builder(disorder_seed) -> model; sampler is any of the five samplers
+    taking (model, beta, iters, step=, chains=, seed=, observer=).
+    Returns {"t", "q2_mean", "q2_std", "x2_mean", "x2_std",
+    "q2_sem_disorder"}; q2-x2 > 0 signals unequilibrated glassy dynamics
+    (the quantity stats_overlaps_all ranks outliers by, scripts.jl:556-562).
+    """
+    sampler_kw = dict(sampler_kw or {})
+    if step is None:
+        step = max(1, int(iters) // 128) if isinstance(iters, int) else iters / 128
+    rows = []
+    for d in range(n_disorder):
+        model = builder(seed + d)
+        series, _ = sampler(model, beta, iters, step=step, chains=chains,
+                            seed=seed + 1000 + d,
+                            observer=config_series_observer(), **sampler_kw)
+        n_ckpt = series.shape[1]
+        times = (np.arange(n_ckpt) + 1) * step
+        rows.append(overlap_stats(series, times, t0=t0, incr=incr))
+    L = min(len(r["t"]) for r in rows)
+    out = {"t": rows[0]["t"][:L]}
+    for k in ("q2_mean", "q2_std", "x2_mean", "x2_std"):
+        out[k] = np.mean([r[k][:L] for r in rows], axis=0)
+    out["q2_sem_disorder"] = (np.std([r["q2_mean"][:L] for r in rows], axis=0)
+                              / np.sqrt(n_disorder))
+    return out

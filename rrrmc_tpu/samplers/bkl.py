@@ -51,31 +51,35 @@ def make_bkl_move(model: Model, beta: float, iters: int):
 
 
 def _bkl_chunk_body(model, beta, iters, step, chunk_moves, state: MCState,
-                    it, Es):
+                    it, Es, observer=None):
     move1 = make_bkl_move(model, beta, iters)
     batched = jax.vmap(move1)
+    obs_fn = (jax.vmap(partial(observer, model)) if observer is not None
+              else lambda s, a, E: jax.vmap(model.to_physical)(E))
 
     def body(carry, _):
         s, it = carry
         sigma, aux, E, key, accepted, it = batched(
             s.sigma, s.aux, s.E, s.key, s.accepted, it)
         s = MCState(sigma=sigma, aux=aux, E=E, key=key, accepted=accepted)
-        return (s, it), (it, jax.vmap(model.to_physical)(E))
+        return (s, it), (it, obs_fn(sigma, aux, E))
 
     it_start = it
-    e_start = jax.vmap(model.to_physical)(state.E)
-    (state, it), (its, evs) = jax.lax.scan(body, (state, it), None,
+    o_start = obs_fn(state.sigma, state.aux, state.E)
+    (state, it), (its, ovs) = jax.lax.scan(body, (state, it), None,
                                            length=chunk_moves)
-    Es = _fill_checkpoints(Es, step, it_start, e_start, its, evs)
+    Es = _fill_checkpoints(Es, step, it_start, o_start, its, ovs)
     return state, it, Es
 
 
-_bkl_chunk = partial(jax.jit, static_argnames=("iters", "step",
-                                               "chunk_moves"))(_bkl_chunk_body)
+_bkl_chunk = partial(jax.jit, static_argnames=(
+    "iters", "step", "chunk_moves", "observer"))(_bkl_chunk_body)
 
 
-@partial(jax.jit, static_argnames=("iters", "step", "chunk_moves"))
-def _bkl_run(model, beta, iters, step, chunk_moves, state: MCState, it, Es):
+@partial(jax.jit, static_argnames=("iters", "step", "chunk_moves",
+                                   "observer"))
+def _bkl_run(model, beta, iters, step, chunk_moves, state: MCState, it, Es,
+             observer=None):
     """Whole hookless run in ONE jit: lax.while_loop over chunks, no host
     sync per chunk (and vmap-able, so sample_disorder can stack it)."""
     def cond(carry):
@@ -85,27 +89,33 @@ def _bkl_run(model, beta, iters, step, chunk_moves, state: MCState, it, Es):
     def body(carry):
         state, it, Es = carry
         return _bkl_chunk_body(model, beta, iters, step, chunk_moves,
-                               state, it, Es)
+                               state, it, Es, observer)
 
     state, it, Es = jax.lax.while_loop(cond, body, (state, it, Es))
     return state, it, Es
 
 
-def _fill_checkpoints(Es, step, x_start, e_start, xs, evs):
-    """Fill Es[b, k] (checkpoint coordinate ns_k = (k+1)*step) with the energy
-    in effect just before the first move whose post-move coordinate reaches
-    ns_k. xs/evs: [chunk, B] per-move streams (non-decreasing coordinates)."""
-    n_ckpt = Es.shape[1]
+def _fill_checkpoints(S, step, x_start, o_start, xs, os_):
+    """Fill the checkpoint series S[b, k, ...] (checkpoint coordinate
+    ns_k = (k+1)*step) with the observable in effect just before the first
+    move whose post-move coordinate reaches ns_k. xs: [chunk, B] per-move
+    coordinate streams (non-decreasing); os_: [chunk, B, ...] post-move
+    observable stream; o_start: [B, ...] value at the chunk start. The batch
+    generalization of the reference's checkpoint drain
+    (/root/reference/src/RRRMC.jl:339-344), for energies and any observer
+    output alike."""
+    n_ckpt = S.shape[1]
     ns = (jnp.arange(1, n_ckpt + 1, dtype=xs.dtype)) * step  # [K]
 
-    def per_chain(Eb, xb, eb, e0, x0):
+    def per_chain(Sb, xb, ob, o0, x0):
         idx = jnp.searchsorted(xb, ns, side="left")  # moves strictly before ns
-        vals = jnp.concatenate([e0[None], eb])[idx]
+        vals = jnp.concatenate([o0[None], ob])[idx]
         newly = (ns > x0) & (ns <= xb[-1])
-        return jnp.where(newly, vals, Eb)
+        mask = newly.reshape((-1,) + (1,) * (Sb.ndim - 1))
+        return jnp.where(mask, vals, Sb)
 
     return jax.vmap(per_chain, in_axes=(0, 1, 1, 0, 0))(
-        Es, xs, evs, e_start, x_start)
+        S, xs, os_, o_start, x_start)
 
 
 #: cached PallasRejectionFree runners (their ctors run eager table builds)
@@ -146,38 +156,53 @@ def _rejfree_mc(model, beta: float, mode: str, target, step, chains: int,
                        key=state.key, accepted=state.accepted)
 
 
+def _series_buffer(model, state: MCState, n_ckpt: int, observer):
+    """Zeroed [B, n_ckpt, ...] checkpoint series matching the observer's
+    per-chain output shape/dtype (energy series when observer is None)."""
+    if observer is None:
+        return jnp.zeros((state.E.shape[0], n_ckpt), ftype())
+    o0 = jax.eval_shape(jax.vmap(partial(observer, model)),
+                        state.sigma, state.aux, state.E)
+    return jnp.zeros((o0.shape[0], n_ckpt) + o0.shape[1:], o0.dtype)
+
+
 def bklMC(model: Model, beta: float, iters: int, *, step: int = 1,
           chains: int = 1, seed: int = DEFAULT_SEED, C0=None,
-          chunk_moves: int = 512, hook=None,
+          chunk_moves: int = 512, hook=None, observer=None,
           state: Optional[MCState] = None, backend: str = "auto"):
     """Rejection-free BKL; `iters` counts virtual (rejected-inclusive)
     iterations. Returns (Es [chains, iters // step], final MCState).
     hook(it, model, state) -> False stops early (called once per chunk).
+    observer(model, sigma, aux, E) replaces the checkpoint energies with any
+    per-chain observable (e.g. config snapshots for the overlap pipeline);
+    checkpoints take the observable in effect at the checkpoint coordinate
+    exactly as energies do.
 
-    backend: "pallas" / "auto" route hookless runs on integer LatticeEA
-    models (chains % 128 == 0, iters <= 1e9) through the VMEM-resident
-    rejection-free kernel (ops/rejfree_pallas.py, ~50-100x the XLA
-    single-move path); "xla" forces the generic path."""
+    backend: "pallas" / "auto" route hookless observer-less runs on integer
+    LatticeEA models (chains % 128 == 0, iters <= 1e9) through the
+    VMEM-resident rejection-free kernel (ops/rejfree_pallas.py, ~50-100x the
+    XLA single-move path); "xla" forces the generic path."""
     if state is None:
         state = init_state(model, chains, seed, C0)
     n_ckpt = iters // step
-    if hook is None and backend != "xla" and iters <= 10 ** 9:
+    if (hook is None and observer is None and backend != "xla"
+            and iters <= 10 ** 9):
         from ..ops.rejfree_pallas import pallas_rejfree_eligible
         if backend == "pallas" or (jax.default_backend() != "cpu"
                                    and pallas_rejfree_eligible(model, chains)):
             return _rejfree_mc(model, float(beta), "bkl", iters, step,
                                chains, seed, state, n_ckpt)
-    Es = jnp.zeros((chains, n_ckpt), ftype())
+    Es = _series_buffer(model, state, n_ckpt, observer)
     it = jnp.zeros(chains, jnp.int64 if jax.config.jax_enable_x64 else jnp.int32)
     if hook is None:
         # hookless fast path: the whole run is one jitted while_loop (no
         # per-chunk host round trip; vmap-able under sample_disorder)
         state, it, Es = _bkl_run(model, float(beta), iters, step,
-                                 chunk_moves, state, it, Es)
+                                 chunk_moves, state, it, Es, observer)
         return Es, state
     while True:
         state, it, Es = _bkl_chunk(model, float(beta), iters, step,
-                                   chunk_moves, state, it, Es)
+                                   chunk_moves, state, it, Es, observer)
         if hook(int(jnp.min(it)), model, state) is False:
             break
         if int(jnp.min(it)) >= iters:

@@ -86,31 +86,34 @@ def make_wtm_move(model: Model, beta, tmax):
 
 
 def _wtm_chunk_body(model, beta, tmax, step_t, chunk_moves, state: MCState,
-                    t, times, Es):
+                    t, times, Es, observer=None):
     move1 = make_wtm_move(model, beta, tmax)
     batched = jax.vmap(move1)
+    obs_fn = (jax.vmap(partial(observer, model)) if observer is not None
+              else lambda s, a, E: jax.vmap(model.to_physical)(E))
 
     def body(carry, _):
         s, t, times = carry
         sigma, aux, E, key, accepted, t, times = batched(
             s.sigma, s.aux, s.E, s.key, s.accepted, t, times)
         s = MCState(sigma=sigma, aux=aux, E=E, key=key, accepted=accepted)
-        return (s, t, times), (t, jax.vmap(model.to_physical)(E))
+        return (s, t, times), (t, obs_fn(sigma, aux, E))
 
     t_start = t
-    e_start = jax.vmap(model.to_physical)(state.E)
-    (state, t, times), (ts, evs) = jax.lax.scan(
+    o_start = obs_fn(state.sigma, state.aux, state.E)
+    (state, t, times), (ts, ovs) = jax.lax.scan(
         body, (state, t, times), None, length=chunk_moves)
-    Es = _fill_checkpoints(Es, step_t, t_start, e_start, ts, evs)
+    Es = _fill_checkpoints(Es, step_t, t_start, o_start, ts, ovs)
     return state, t, times, Es
 
 
-_wtm_chunk = partial(jax.jit, static_argnames=("chunk_moves",))(_wtm_chunk_body)
+_wtm_chunk = partial(jax.jit, static_argnames=("chunk_moves",
+                                               "observer"))(_wtm_chunk_body)
 
 
-@partial(jax.jit, static_argnames=("chunk_moves",))
+@partial(jax.jit, static_argnames=("chunk_moves", "observer"))
 def _wtm_run(model, beta, tmax, step_t, chunk_moves, state: MCState,
-             t, times, Es):
+             t, times, Es, observer=None):
     """Whole hookless run in ONE jit (see bkl._bkl_run)."""
     def cond(carry):
         _, t, _, _ = carry
@@ -119,28 +122,31 @@ def _wtm_run(model, beta, tmax, step_t, chunk_moves, state: MCState,
     def body(carry):
         state, t, times, Es = carry
         return _wtm_chunk_body(model, beta, tmax, step_t, chunk_moves,
-                               state, t, times, Es)
+                               state, t, times, Es, observer)
 
     return jax.lax.while_loop(cond, body, (state, t, times, Es))
 
 
 def wtmMC(model: Model, beta: float, samples: int, *, step: float = 1.0,
           chains: int = 1, seed: int = DEFAULT_SEED, C0=None,
-          chunk_moves: int = 512, hook=None,
+          chunk_moves: int = 512, hook=None, observer=None,
           state: Optional[MCState] = None, backend: str = "auto"):
     """Waiting-time method; collects up to `samples` checkpoints spaced
     `step` (scaled by 1/N) in global time. Returns (Es [chains, samples],
     final MCState). hook(t, model, state) -> False stops early.
+    observer(model, sigma, aux, E) replaces checkpoint energies with any
+    per-chain observable (snapshots for the overlap pipeline etc.).
 
-    backend: "pallas" / "auto" route hookless runs on integer LatticeEA
-    models (chains % 128 == 0) through the VMEM-resident rejection-free
-    kernel (ops/rejfree_pallas.py); "xla" forces the generic path."""
+    backend: "pallas" / "auto" route hookless observer-less runs on integer
+    LatticeEA models (chains % 128 == 0) through the VMEM-resident
+    rejection-free kernel (ops/rejfree_pallas.py); "xla" forces the generic
+    path."""
     if state is None:
         state = init_state(model, chains, seed, C0)
     ft = ftype()
     step_t = float(step) / model.N
     tmax = step_t * samples
-    if hook is None and backend != "xla":
+    if hook is None and observer is None and backend != "xla":
         from ..ops.rejfree_pallas import pallas_rejfree_eligible
         if backend == "pallas" or (jax.default_backend() != "cpu"
                                    and pallas_rejfree_eligible(model, chains)):
@@ -154,14 +160,17 @@ def wtmMC(model: Model, beta: float, samples: int, *, step: float = 1.0,
                                    jnp.zeros((), ft))))(
         key_times, state.sigma, state.aux)
     t = jnp.zeros(chains, ft)
-    Es = jnp.zeros((chains, samples), ft)
+    from .bkl import _series_buffer
+    Es = _series_buffer(model, state, samples, observer)
     if hook is None:
         state, t, times, Es = _wtm_run(model, float(beta), tmax, step_t,
-                                       chunk_moves, state, t, times, Es)
+                                       chunk_moves, state, t, times, Es,
+                                       observer)
         return Es, state
     while True:
         state, t, times, Es = _wtm_chunk(model, float(beta), tmax, step_t,
-                                         chunk_moves, state, t, times, Es)
+                                         chunk_moves, state, t, times, Es,
+                                         observer)
         if hook(float(jnp.min(t)), model, state) is False:
             break
         if float(jnp.min(t)) >= tmax:

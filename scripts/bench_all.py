@@ -1,0 +1,187 @@
+"""Full kernel scoreboard + sampler factor tables, emitted as one JSON
+artifact (bench_all_results.json) so every performance claim in README/docs
+traces to a committed measurement.
+
+Sections (select with argv, default "all"):
+  kernels   - Pallas kernel headliners: EA-3D checkerboard sweep, dense SK
+              (VMEM-resident and HBM-streamed), densified RRG N=1e4, the
+              single-site Metropolis kernel, and the rejection-free BKL/WTM
+              kernel at beta=4.
+  factors   - equal-wallclock sampler factors (nominal iterations per rrrMC
+              iteration) on GraphRRG N=1e4 K=3 at beta in {2,3,4} for +-J and
+              Gaussian couplings — the reference paper's alignment table
+              (/root/reference/scripts/scripts.jl:30-37,163-166: Met 3.7-4.5x,
+              BKL 95-6083x, WTM 53-3375x on a serial CPU).
+
+Usage: python scripts/bench_all.py [kernels|factors|all] [out.json]
+"""
+
+import json
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/rrrmc_jit_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import numpy as np  # noqa: E402
+import rrrmc_tpu as rt  # noqa: E402
+from rrrmc_tpu.experiments import equal_wallclock_factors, runtest  # noqa: E402
+
+
+def sync(x):
+    """True device sync (block_until_ready is a no-op on the remote
+    backend — materialize a small output instead)."""
+    return np.asarray(x)
+
+
+def timed_best(fn, reps=3):
+    best = float("inf")
+    out = None
+    for _ in range(reps):
+        t0 = time.time()
+        out = fn()
+        dt = time.time() - t0
+        best = min(best, dt)
+    return best, out
+
+
+def bench_ea3d_sweep():
+    from rrrmc_tpu.ops.sweep_pallas import PallasSweeper
+    L, B, beta, sweeps = 16, 8192, 2.0, 1000
+    X = rt.GraphEA(L, 3, (-1, 1), seed=42)
+    sw = PallasSweeper(X, beta)
+    st = rt.init_state(X, B, seed=1)
+    sigma, E = sw(st.sigma, st.E, seed=7, n_sweeps=10)
+    sync(E)
+    dt, (sigma, E) = timed_best(
+        lambda: (lambda p: (sync(p[1]), p)[1])(sw(sigma, E, seed=99,
+                                                  n_sweeps=sweeps)))
+    E_re = jax.jit(jax.vmap(X.energy))(sigma)
+    assert int(np.max(np.abs(sync(E_re) - sync(E)))) == 0
+    return {"kernel": "ea3d_checkerboard_sweep", "N": X.N, "chains": B,
+            "beta": beta, "flips_per_s": B * X.N * sweeps / dt}
+
+
+def bench_dense(name, model, *, B=8192, beta=2.0, sweeps=None):
+    N = model.N
+    if sweeps is None:
+        # target ~2e12 attempted flips per timed rep
+        sweeps = max(10, int(2e12 / (B * N)))
+    Es, st = rt.sweepMC_dense(model, beta, 10, chains=B, seed=3,
+                              backend="pallas")
+    sync(st.E)
+    def rep():
+        Es, st2 = rt.sweepMC_dense(model, beta, sweeps, chains=B, seed=5,
+                                   state=st, backend="pallas")
+        sync(st2.E)
+        return st2
+    dt, st2 = timed_best(rep)
+    E_re = jax.jit(jax.vmap(model.energy))(st2.sigma)
+    assert int(np.max(np.abs(sync(E_re) - sync(st2.E)))) == 0
+    return {"kernel": name, "N": N, "chains": B, "beta": beta,
+            "sweeps": sweeps, "flips_per_s": B * N * sweeps / dt}
+
+
+def bench_site_kernel():
+    X = rt.GraphRRG(1024, 3, (-1, 1), seed=7)
+    B, iters = 4096, 2_000_000
+    Es, st = rt.standardMC(X, 2.0, 50_000, chains=B, seed=3,
+                           backend="pallas")
+    sync(st.E)
+    def rep():
+        _, st2 = rt.standardMC(X, 2.0, iters, chains=B, seed=5, state=st,
+                               backend="pallas")
+        sync(st2.E)
+        return st2
+    dt, st2 = timed_best(rep)
+    E_re = jax.jit(jax.vmap(X.energy))(st2.sigma)
+    assert int(np.max(np.abs(sync(E_re) - sync(st2.E)))) == 0
+    return {"kernel": "single_site_metropolis", "N": X.N, "chains": B,
+            "beta": 2.0, "moves_chains_per_s": iters * B / dt}
+
+
+def bench_rejfree(mode):
+    L, B, beta = 8, 1024, 4.0
+    X = rt.GraphEA(L, 3, (-1, 1), seed=11)
+    fn = rt.bklMC if mode == "bkl" else rt.wtmMC
+    if mode == "bkl":
+        iters, step = 40_000_000, 400_000
+        kw = dict()
+    else:
+        iters, step = 4000.0, 40.0   # wtm: global time units
+        kw = dict()
+    Es, st = fn(X, beta, iters if mode == "bkl" else 100.0,
+                step=step if mode == "bkl" else 1.0,
+                chains=B, seed=3, backend="pallas", **kw)
+    sync(st.E)
+    def rep():
+        out = fn(X, beta, iters, step=step, chains=B, seed=5, state=st,
+                 backend="pallas", **kw)
+        sync(out[1].E)
+        return out[1]
+    dt, st2 = timed_best(rep)
+    E_re = jax.jit(jax.vmap(X.energy))(st2.sigma)
+    assert int(np.max(np.abs(sync(E_re) - sync(st2.E)))) == 0
+    unit = ("virtual_iters_chains_per_s" if mode == "bkl"
+            else "time_units_chains_per_s")
+    return {"kernel": f"rejfree_{mode}", "N": X.N, "chains": B, "beta": beta,
+            unit: iters * B / dt}
+
+
+def kernels_section():
+    out = []
+    for fn in (bench_ea3d_sweep,
+               lambda: bench_dense("sk_dense_vmem", rt.GraphSK(1024, seed=4)),
+               lambda: bench_dense("sk_dense_hbm_streamed",
+                                   rt.GraphSK(8192, seed=4), B=2048),
+               lambda: bench_dense(
+                   "rrg_densified_hbm",
+                   rt.densify(rt.GraphRRG(10_000, 3, (-1, 1), seed=7)),
+                   B=1024),
+               bench_site_kernel,
+               lambda: bench_rejfree("bkl"),
+               lambda: bench_rejfree("wtm")):
+        r = fn()
+        print(json.dumps(r))
+        out.append(r)
+    return out
+
+
+def factors_section():
+    N, chains = 10_000, 256
+    out = []
+    for name, builder in [
+            ("rrg_pmJ", lambda: rt.GraphRRG(N, 3, (-1, 1), seed=167)),
+            ("rrg_normal", lambda: rt.GraphRRGNormal(N, 3, seed=167))]:
+        X = builder()
+        for beta in (2.0, 3.0, 4.0):
+            f = equal_wallclock_factors(X, beta, iters=20_000, chains=chains)
+            row = {"graph": name, "N": N, "beta": beta, "chains": chains,
+                   "factors_vs_rrr": f}
+            print(json.dumps(row))
+            out.append(row)
+        r = runtest(rt.standardMC, X, 2.0, 20_000, chains=chains)
+        row = {"graph": name, "standardMC_flips_per_s": r["flips_per_s"],
+               "accept_rate": r["accept_rate"], "E_per_spin": r["E_per_spin"]}
+        print(json.dumps(row))
+        out.append(row)
+    return out
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    path = sys.argv[2] if len(sys.argv) > 2 else "bench_all_results.json"
+    res = {"device": str(jax.devices()[0])}
+    if which in ("kernels", "all"):
+        res["kernels"] = kernels_section()
+    if which in ("factors", "all"):
+        res["factors"] = factors_section()
+    with open(path, "w") as f:
+        json.dump(res, f, indent=1)
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -58,16 +58,25 @@ def calibrate(sampler, model, beta, obs, *, chains, seed, iters=400,
 
 
 def run_budgeted(sampler, model, beta, obs, *, rate, t_limit, chains, seed,
-                 n_ckpt=120):
+                 n_ckpt=120, segments=8):
+    """Run `rate * t_limit` iterations in `segments` state-threaded calls
+    (the remote TPU relay is unreliable past ~60s per dispatch — a 90s
+    single-dispatch run crashed the worker; short dispatches are also what a
+    production annealing loop looks like)."""
     iters = max(n_ckpt, int(rate * t_limit))
     step = max(1, iters // n_ckpt)
-    iters = step * n_ckpt
+    per_seg = (n_ckpt // segments) * step
     t0 = time.time()
-    series, state = sampler(model, beta, iters, step=step, chains=chains,
-                            seed=seed, observer=obs)
-    np.asarray(state.E)
+    parts, state = [], None
+    for g in range(segments):
+        series, state = sampler(model, beta, per_seg, step=step,
+                                chains=chains, seed=seed + g, state=state,
+                                observer=obs)
+        np.asarray(state.E)
+        parts.append(np.asarray(series))
+    iters = per_seg * segments
     wall = time.time() - t0
-    s = np.asarray(series, np.float64)     # [chains, n_ckpt, ...]
+    s = np.concatenate(parts, axis=1).astype(np.float64)  # [chains, n_ckpt, ...]
     mean = s.mean(axis=0)
     sem = s.std(axis=0) / np.sqrt(s.shape[0])
     return {"iters": iters, "step": step, "wall_s": wall,
