@@ -60,6 +60,8 @@ from .samplers.bkl import bklMC
 from .samplers.wtm import wtmMC
 from .samplers.eo import extremal_opt, EOResult
 from .samplers.common import MCState, init_state, rebind, DEFAULT_SEED
+from .parallel.tempering import (parallel_tempering, tempered_ensembles,
+                                 energies_by_rank)
 from . import observables
 from . import analysis
 from . import experiments

@@ -30,7 +30,7 @@ from jax.experimental.shard_map import shard_map
 from ..core.struct import pytree, static
 from ..core.dtypes import ftype
 from ..models.pairwise import Pairwise
-from ..samplers.common import DEFAULT_SEED, init_state
+from ..samplers.common import DEFAULT_SEED, MCState, init_state
 from ..samplers.sweep import color_masks, _sweep_once
 
 
@@ -199,6 +199,177 @@ def parallel_tempering(model: Pairwise, betas, n_rounds: int, *,
                                n_rounds, sweeps_per_round, axis_name,
                                chain_axis, mesh)
     return Es, ranks, state
+
+
+# ---------------------------------------------------------------------------
+# Generalized ensemble exchange: a ladder of (model_r, beta_r) ENSEMBLES with
+# slot-pinned Hamiltonians and configuration swaps.
+#
+# This is the tempering mode the reference's annealing workloads call for
+# (Gamma-annealing on GraphQuant, scripts.jl:766-863; gamma-annealing on
+# GraphRobustEnsemble, :866-963): the ladder varies the HAMILTONIAN (via each
+# model's re-parameterized constructor), not just beta, so the swap acceptance
+# must use cross energies:
+#
+#   ln A(r, r+1) = -beta_r   [H_r(x_{r+1})     - H_r(x_r)]
+#                  -beta_{r+1}[H_{r+1}(x_r)    - H_{r+1}(x_{r+1})]
+#
+# which reduces to the standard exp(dbeta * dE) rule when all models are
+# identical. Unlike `parallel_tempering` above (rank swaps, checkerboard
+# sweeps, Pairwise-only), slots here are PINNED to their ensemble and the
+# configurations move; each slot runs the generic single-site Metropolis
+# kernel, so ANY model implementing the core protocol (incl. Quant/RE/LE/TLE
+# wrappers, whose coupling constants live in *static* pytree metadata and
+# therefore cannot be vmapped over a ladder axis) can be tempered. The move
+# and swap phases for all T slots are traced into ONE jitted lax.scan over
+# rounds — a Python loop over slots inside the trace, not T dispatches.
+# ---------------------------------------------------------------------------
+
+
+@pytree
+class ETState:
+    slots: tuple          # T × MCState (per-ensemble chain batches, [B, ...])
+    walker: jnp.ndarray   # [T, B] int32: walker id currently held by slot
+    swap_acc: jnp.ndarray  # [T, B] int32 accepted swap count (per lead pair)
+
+
+def _metropolis_moves(model, beta, n_moves, st: MCState) -> MCState:
+    from ..samplers.metropolis import make_metropolis_step
+    step1 = jax.vmap(make_metropolis_step(model, beta))
+
+    def body(carry, _):
+        return step1(*carry), None
+
+    carry = (st.sigma, st.aux, st.E, st.key, st.accepted)
+    (sigma, aux, E, key, accepted), _ = jax.lax.scan(
+        body, carry, None, length=n_moves)
+    return MCState(sigma=sigma, aux=aux, E=E, key=key, accepted=accepted)
+
+
+def _ensemble_round(models, betas_f, n_moves, kernel, state: ETState,
+                    swap_key, parity):
+    T = len(models)
+    slots = [kernel(m, b, n_moves, st)
+             for m, b, st in zip(models, betas_f, state.slots)]
+    B = slots[0].sigma.shape[0]
+
+    # physical energies of every slot at its own ensemble
+    E_phys = [m.to_physical(st.E).astype(ftype())
+              for m, st in zip(models, slots)]
+    # cross energies for every adjacent pair (both directions, internal
+    # units); parity masking happens in the acceptance, so the round body
+    # stays branch-free under the traced parity
+    e_up = [jax.vmap(models[r].energy)(slots[r + 1].sigma)
+            for r in range(T - 1)]            # H_r(x_{r+1})
+    e_dn = [jax.vmap(models[r + 1].energy)(slots[r].sigma)
+            for r in range(T - 1)]            # H_{r+1}(x_r)
+
+    u = jax.random.uniform(swap_key, (max(T - 1, 1), B), ftype())
+    acc = []
+    for r in range(T - 1):
+        ln_a = (-betas_f[r] * (models[r].to_physical(e_up[r]).astype(ftype())
+                               - E_phys[r])
+                - betas_f[r + 1] * (
+                    models[r + 1].to_physical(e_dn[r]).astype(ftype())
+                    - E_phys[r + 1]))
+        lead = jnp.asarray(r % 2, jnp.int32) == parity
+        acc.append((u[r] < jnp.exp(jnp.minimum(ln_a, 0.0))) & lead)
+
+    def pick(r, own, up_v, dn_v):
+        """Per-slot select: partner-above value if pair r accepted, partner-
+        below value if pair r-1 accepted, else own. [B]-shaped masks."""
+        out = own
+        if r < T - 1:
+            m = acc[r].reshape((-1,) + (1,) * (own.ndim - 1))
+            out = jnp.where(m, up_v, out)
+        if r > 0:
+            m = acc[r - 1].reshape((-1,) + (1,) * (own.ndim - 1))
+            out = jnp.where(m, dn_v, out)
+        return out
+
+    new_slots, new_walker = [], []
+    for r in range(T):
+        st = slots[r]
+        sig_up = slots[r + 1].sigma if r < T - 1 else st.sigma
+        sig_dn = slots[r - 1].sigma if r > 0 else st.sigma
+        sigma = pick(r, st.sigma, sig_up, sig_dn)
+        E = pick(r, st.E,
+                 e_up[r] if r < T - 1 else st.E,
+                 e_dn[r - 1] if r > 0 else st.E)
+        # aux caches are model-specific; after a swap they must be re-derived
+        # under this slot's Hamiltonian (branch-free: recompute every round,
+        # one O(energy) pass — same order as the cross-energy evaluation)
+        aux = jax.vmap(models[r].init_aux)(sigma)
+        new_slots.append(MCState(sigma=sigma, aux=aux, E=E, key=st.key,
+                                 accepted=st.accepted))
+        new_walker.append(pick(r, state.walker[r],
+                               state.walker[r + 1] if r < T - 1 else None,
+                               state.walker[r - 1] if r > 0 else None))
+
+    moved = [jnp.zeros((B,), jnp.int32) for _ in range(T)]
+    for r in range(T - 1):
+        moved[r] = moved[r] + acc[r].astype(jnp.int32)
+        moved[r + 1] = moved[r + 1] + acc[r].astype(jnp.int32)
+    return (ETState(slots=tuple(new_slots),
+                    walker=jnp.stack(new_walker),
+                    swap_acc=state.swap_acc + jnp.stack(moved)),
+            jnp.stack(E_phys))
+
+
+@partial(jax.jit, static_argnames=("n_rounds", "n_moves", "kernel"))
+def _run_ensembles(models, betas_f, state: ETState, base_key,
+                   n_rounds: int, n_moves: int, kernel):
+    def body(carry, i):
+        state = carry
+        swap_key = jax.random.fold_in(base_key, i)
+        state, E_phys = _ensemble_round(models, betas_f, n_moves, kernel,
+                                        state, swap_key, i % 2)
+        return state, (E_phys, state.walker)
+
+    state, (Es, walkers) = jax.lax.scan(body, state, jnp.arange(n_rounds))
+    return state, Es, walkers
+
+
+def tempered_ensembles(models, betas, n_rounds: int, *,
+                       moves_per_round: Optional[int] = None,
+                       chains: int = 1, seed: int = DEFAULT_SEED,
+                       kernel=None, state: Optional[ETState] = None):
+    """Replica exchange over a ladder of (model_r, beta_r) ensembles.
+
+    models: sequence of T models on the same N (typically a re-parameterized
+        family, e.g. ``[GraphQuant(Nk, M, g, beta, base) for g in Gammas]``
+        sharing one base disorder, or T references to one model for a plain
+        beta ladder). Arbitrary heterogeneous models are allowed — slots are
+        pinned, configurations swap with the cross-energy acceptance rule.
+    betas: [T] inverse sampling temperatures (may be all equal for a
+        coupling-constant ladder).
+    moves_per_round: Metropolis moves per slot between swap attempts
+        (default N). kernel(model, beta, n_moves, MCState) -> MCState
+        overrides the per-slot move kernel.
+
+    Returns (Es [n_rounds, T, B] physical energies per slot — slots ARE the
+    ladder rungs here, no rank sorting needed —, walkers [n_rounds, T, B]
+    walker ids after each swap round, final ETState)."""
+    models = list(models)
+    T = len(models)
+    assert T >= 2, "need at least 2 ensembles"
+    N = models[0].N
+    assert all(m.N == N for m in models), "ladder models must share N"
+    betas_f = tuple(float(b) for b in np.asarray(betas))
+    assert len(betas_f) == T, (len(betas_f), T)
+    n_moves = int(moves_per_round) if moves_per_round else N
+    if state is None:
+        slots = tuple(init_state(m, chains, seed + 7919 * t)
+                      for t, m in enumerate(models))
+        walker = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[:, None],
+                                  (T, chains))
+        state = ETState(slots=slots, walker=walker,
+                        swap_acc=jnp.zeros((T, chains), jnp.int32))
+    base_key = jax.random.key(seed ^ 0x7E3B)
+    state, Es, walkers = _run_ensembles(
+        tuple(models), betas_f, state, base_key, int(n_rounds), n_moves,
+        kernel or _metropolis_moves)
+    return Es, walkers, state
 
 
 def energies_by_rank(Es, ranks):

@@ -50,10 +50,17 @@ def geometric_skip(key, p):
 
 def accept_factor(key, c, x):
     """Accept with prob min(1, c * e^x) (reference `accept(c, x)`,
-    /root/reference/src/RRRMC.jl:40-44), branchless."""
+    /root/reference/src/RRRMC.jl:40-44), branchless.
+
+    Computed in the log domain: u < c*e^x  <=>  log u < log c + x. This is
+    exact at any magnitude — c = z/z' can be astronomically small while e^x
+    is astronomically large at extreme beta (rrrMC Double residual), where a
+    direct f32 product would need an overflow cap that silently turns
+    certain-accept moves (c*e^x >= 1 with c < e^-30) into near-certain
+    rejects. log(u=0) = -inf accepts, matching u < a for any a > 0 up to a
+    zero-probability event; log(c=0) + x = -inf never accepts, matching."""
     u = jax.random.uniform(key, (), jnp.float32)
-    a = c * jnp.exp(jnp.minimum(x, 30.0))
-    return u < a
+    return jnp.log(u) < jnp.log(c) + x
 
 
 def inner_view(model):

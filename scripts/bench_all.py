@@ -30,6 +30,16 @@ import rrrmc_tpu as rt  # noqa: E402
 from rrrmc_tpu.experiments import equal_wallclock_factors, runtest  # noqa: E402
 
 
+@jax.jit
+def _recompute_E(model, sigma):
+    """Exact energy recomputation with `model` as an ARGUMENT: closing over
+    the model (jax.jit(jax.vmap(model.energy))) would bake J into the program
+    as a constant — a 64MB+ remote-compile request body (HTTP 413) for the
+    HBM-scale dense models."""
+    import jax as _jax
+    return _jax.vmap(model.energy)(sigma)
+
+
 def sync(x):
     """True device sync (block_until_ready is a no-op on the remote
     backend — materialize a small output instead)."""
@@ -48,37 +58,49 @@ def timed_best(fn, reps=3):
 
 
 def bench_ea3d_sweep():
+    # IMPORTANT: the remote relay dies on single dispatches >~60s (verified:
+    # a 1000-sweep call at ~84s wedged the worker) — every rep is segmented
+    # into short dispatches; the async queue pipelines them, one sync at end.
     from rrrmc_tpu.ops.sweep_pallas import PallasSweeper
-    L, B, beta, sweeps = 16, 8192, 2.0, 1000
+    L, B, beta, seg, nseg = 16, 8192, 2.0, 100, 5
     X = rt.GraphEA(L, 3, (-1, 1), seed=42)
     sw = PallasSweeper(X, beta)
     st = rt.init_state(X, B, seed=1)
     sigma, E = sw(st.sigma, st.E, seed=7, n_sweeps=10)
     sync(E)
-    dt, (sigma, E) = timed_best(
-        lambda: (lambda p: (sync(p[1]), p)[1])(sw(sigma, E, seed=99,
-                                                  n_sweeps=sweeps)))
-    E_re = jax.jit(jax.vmap(X.energy))(sigma)
+    box = [sigma, E]
+    def rep():
+        for g in range(nseg):
+            box[0], box[1] = sw(box[0], box[1], seed=99 + g, n_sweeps=seg)
+        sync(box[1])
+    dt, _ = timed_best(rep)
+    sigma, E = box
+    E_re = _recompute_E(X, sigma)
     assert int(np.max(np.abs(sync(E_re) - sync(E)))) == 0
     return {"kernel": "ea3d_checkerboard_sweep", "N": X.N, "chains": B,
-            "beta": beta, "flips_per_s": B * X.N * sweeps / dt}
+            "beta": beta, "flips_per_s": B * X.N * seg * nseg / dt}
 
 
-def bench_dense(name, model, *, B=8192, beta=2.0, sweeps=None):
+def bench_dense(name, model, *, B=8192, beta=2.0, sweeps=None, nseg=4):
     N = model.N
     if sweeps is None:
-        # target ~2e12 attempted flips per timed rep
-        sweeps = max(10, int(2e12 / (B * N)))
+        # target ~2.4e11 attempted flips per timed rep (~25s at 1e10/s),
+        # split into nseg short dispatches (relay dies past ~60s/dispatch)
+        sweeps = max(8, int(2.4e11 / (B * N) / nseg))
     Es, st = rt.sweepMC_dense(model, beta, 10, chains=B, seed=3,
                               backend="pallas")
     sync(st.E)
     def rep():
-        Es, st2 = rt.sweepMC_dense(model, beta, sweeps, chains=B, seed=5,
-                                   state=st, backend="pallas")
+        st2 = st
+        for g in range(nseg):
+            Es, st2 = rt.sweepMC_dense(model, beta, sweeps, chains=B,
+                                       seed=5 + g, state=st2,
+                                       backend="pallas")
         sync(st2.E)
         return st2
     dt, st2 = timed_best(rep)
-    E_re = jax.jit(jax.vmap(model.energy))(st2.sigma)
+    sweeps = sweeps * nseg
+    E_re = _recompute_E(model, st2.sigma)
     assert int(np.max(np.abs(sync(E_re) - sync(st2.E)))) == 0
     return {"kernel": name, "N": N, "chains": B, "beta": beta,
             "sweeps": sweeps, "flips_per_s": B * N * sweeps / dt}
@@ -87,42 +109,47 @@ def bench_dense(name, model, *, B=8192, beta=2.0, sweeps=None):
 def bench_site_kernel():
     X = rt.GraphRRG(1024, 3, (-1, 1), seed=7)
     B, iters = 4096, 2_000_000
-    Es, st = rt.standardMC(X, 2.0, 50_000, chains=B, seed=3,
+    # step == iters: ONE kernel dispatch per call (the pallas path loops
+    # python-side per checkpoint — step=1 would mean `iters` dispatches)
+    Es, st = rt.standardMC(X, 2.0, 50_000, step=50_000, chains=B, seed=3,
                            backend="pallas")
     sync(st.E)
     def rep():
-        _, st2 = rt.standardMC(X, 2.0, iters, chains=B, seed=5, state=st,
-                               backend="pallas")
+        _, st2 = rt.standardMC(X, 2.0, iters, step=iters, chains=B, seed=5,
+                               state=st, backend="pallas")
         sync(st2.E)
         return st2
     dt, st2 = timed_best(rep)
-    E_re = jax.jit(jax.vmap(X.energy))(st2.sigma)
+    E_re = _recompute_E(X, st2.sigma)
     assert int(np.max(np.abs(sync(E_re) - sync(st2.E)))) == 0
     return {"kernel": "single_site_metropolis", "N": X.N, "chains": B,
             "beta": 2.0, "moves_chains_per_s": iters * B / dt}
 
 
 def bench_rejfree(mode):
-    L, B, beta = 8, 1024, 4.0
+    L, B, beta, nseg = 8, 1024, 4.0, 4
     X = rt.GraphEA(L, 3, (-1, 1), seed=11)
     fn = rt.bklMC if mode == "bkl" else rt.wtmMC
     if mode == "bkl":
-        iters, step = 40_000_000, 400_000
-        kw = dict()
+        seg, step = 10_000_000, 100_000    # virtual iterations per segment
     else:
-        iters, step = 4000.0, 40.0   # wtm: global time units
-        kw = dict()
-    Es, st = fn(X, beta, iters if mode == "bkl" else 100.0,
+        seg, step = 1000.0, 10.0           # wtm: global time units
+    # warm-up + compile (short target), then nseg state-threaded segments
+    # per rep — each segment is one bounded dispatch (relay limit ~60s)
+    Es, st = fn(X, beta, seg if mode == "bkl" else 100.0,
                 step=step if mode == "bkl" else 1.0,
-                chains=B, seed=3, backend="pallas", **kw)
+                chains=B, seed=3, backend="pallas")
     sync(st.E)
     def rep():
-        out = fn(X, beta, iters, step=step, chains=B, seed=5, state=st,
-                 backend="pallas", **kw)
-        sync(out[1].E)
-        return out[1]
+        st2 = st
+        for g in range(nseg):
+            _, st2 = fn(X, beta, seg, step=step, chains=B, seed=5 + g,
+                        state=st2, backend="pallas")
+        sync(st2.E)
+        return st2
     dt, st2 = timed_best(rep)
-    E_re = jax.jit(jax.vmap(X.energy))(st2.sigma)
+    iters = seg * nseg
+    E_re = _recompute_E(X, st2.sigma)
     assert int(np.max(np.abs(sync(E_re) - sync(st2.E)))) == 0
     unit = ("virtual_iters_chains_per_s" if mode == "bkl"
             else "time_units_chains_per_s")
@@ -130,9 +157,13 @@ def bench_rejfree(mode):
             unit: iters * B / dt}
 
 
-def kernels_section():
-    out = []
-    for fn in (bench_ea3d_sweep,
+def kernels_section(done=()):
+    out = [r for r in done]
+    have = {r["kernel"] for r in out}
+    names = ["ea3d_checkerboard_sweep", "sk_dense_vmem",
+             "sk_dense_hbm_streamed", "rrg_densified_hbm",
+             "single_site_metropolis", "rejfree_bkl", "rejfree_wtm"]
+    for name, fn in zip(names, (bench_ea3d_sweep,
                lambda: bench_dense("sk_dense_vmem", rt.GraphSK(1024, seed=4)),
                lambda: bench_dense("sk_dense_hbm_streamed",
                                    rt.GraphSK(8192, seed=4), B=2048),
@@ -142,9 +173,11 @@ def kernels_section():
                    B=1024),
                bench_site_kernel,
                lambda: bench_rejfree("bkl"),
-               lambda: bench_rejfree("wtm")):
+               lambda: bench_rejfree("wtm"))):
+        if name in have:
+            continue
         r = fn()
-        print(json.dumps(r))
+        print(json.dumps(r), flush=True)
         out.append(r)
     return out
 
@@ -174,8 +207,15 @@ def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     path = sys.argv[2] if len(sys.argv) > 2 else "bench_all_results.json"
     res = {"device": str(jax.devices()[0])}
+    import os
+    done = ()
+    if os.path.exists(path):
+        with open(path) as f:
+            done = json.load(f).get("kernels", ())
     if which in ("kernels", "all"):
-        res["kernels"] = kernels_section()
+        res["kernels"] = kernels_section(done)
+        with open(path, "w") as f:
+            json.dump(res, f, indent=1)
     if which in ("factors", "all"):
         res["factors"] = factors_section()
     with open(path, "w") as f:

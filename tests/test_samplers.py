@@ -205,3 +205,29 @@ def test_odd_L_sweep_masks_are_independent_sets():
     a = np.asarray(Es_s)[:, 5:].mean()
     b = np.asarray(Es_m)[:, 5:].mean()
     assert abs(a - b) < 1.2, (a, b)
+
+
+def test_accept_factor_extreme_magnitudes():
+    """min(1, c*e^x) must be honored when c and e^x individually overflow /
+    underflow f32 (rrrMC Double at extreme beta: c = z/z' tiny, x = -beta*dE1
+    huge). The log-domain form is exact; a capped product silently rejects
+    certain-accept moves (VERDICT r1 weak #8)."""
+    from rrrmc_tpu.samplers.moves import accept_factor
+
+    keys = jax.random.split(jax.random.key(0), 4000)
+    batch = jax.jit(jax.vmap(lambda k, c, x: accept_factor(k, c, x),
+                             in_axes=(0, None, None)))
+
+    def rate(c, x):
+        return float(np.mean(np.asarray(batch(keys, jnp.float32(c),
+                                               jnp.float32(x)))))
+
+    # certain accepts despite c < e^-30 (the old 30-cap failed these)
+    assert rate(1e-20, 50.0) == 1.0
+    assert rate(1e-30, 80.0) == 1.0
+    # certain rejects despite e^x overflow-scale x when c == 0
+    assert rate(0.0, 200.0) == 0.0
+    # interior probabilities match min(1, c*e^x) within MC error
+    for c, x, p in [(0.5, 0.0, 0.5), (1e-3, np.log(200.0), 0.2),
+                    (2.0, np.log(0.15), 0.3)]:
+        assert abs(rate(c, x) - p) < 0.03, (c, x, rate(c, x), p)

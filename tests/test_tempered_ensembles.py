@@ -1,0 +1,84 @@
+"""Generalized ensemble exchange (parallel.tempering.tempered_ensembles):
+
+1. plain beta ladder (identical models) — each rung's marginal must match the
+   exact Boltzmann mean at its beta, and the cross-energy acceptance rule must
+   reduce to the standard exp(dbeta * dE) tempering;
+2. Gamma ladder of Quant wrapper models (slot-pinned Hamiltonians, the
+   reference's annealing workload scripts.jl:766-863 turned into true replica
+   exchange) — each slot's marginal must match the exact Boltzmann of ITS OWN
+   Hamiltonian, and swaps must actually occur;
+3. invariants: incrementally-tracked energies equal recomputation after
+   config swaps, and walker tables stay permutations.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import rrrmc_tpu as rt
+from rrrmc_tpu.parallel.tempering import tempered_ensembles
+from rrrmc_tpu.observables import unpack_config
+
+
+def exact_mean_energy(model, beta):
+    states = unpack_config(jnp.arange(2 ** model.N, dtype=jnp.int32), model.N)
+    E = np.asarray(jax.jit(jax.vmap(
+        lambda s: model.to_physical(model.energy(s))))(states), np.float64)
+    w = np.exp(-beta * (E - E.min()))
+    return float((w * E).sum() / w.sum())
+
+
+def _check_invariants(models, Es, walkers, state):
+    T = len(models)
+    for r, (m, st) in enumerate(zip(models, state.slots)):
+        E_re = jax.jit(jax.vmap(m.energy))(st.sigma)
+        np.testing.assert_allclose(np.asarray(E_re, np.float64),
+                                   np.asarray(st.E, np.float64),
+                                   rtol=0, atol=1e-9)
+    w = np.asarray(walkers)[-1]                      # [T, B]
+    for b in range(w.shape[1]):
+        assert sorted(w[:, b]) == list(range(T)), w[:, b]
+
+
+def test_beta_ladder_matches_boltzmann():
+    X = rt.GraphEA(4, 2, (-1, 1), seed=3)            # N=16 EA-2D
+    betas = [0.5, 1.0, 1.5, 2.0]
+    models = [X] * len(betas)
+    Es, walkers, state = tempered_ensembles(
+        models, betas, n_rounds=800, moves_per_round=32, chains=16, seed=11)
+    _check_invariants(models, Es, walkers, state)
+    assert int(np.asarray(state.swap_acc).sum()) > 0
+    Es = np.asarray(Es)                              # [rounds, T, B]
+    for r, beta in enumerate(betas):
+        got = float(Es[300:, r].mean())
+        want = exact_mean_energy(X, beta)
+        assert abs(got - want) < 0.6, (beta, got, want)
+
+
+def test_gamma_ladder_quant_cross_energies():
+    """Slot-pinned Gamma ladder: every slot has a DIFFERENT Hamiltonian
+    (fourK(beta, Gamma) lives in static metadata), swaps exchange configs."""
+    Nk, M, beta = 3, 3, 1.0                          # N = 9, 512 states
+    base = rt.GraphSK(Nk, seed=5)
+    gammas = [0.3, 0.8, 1.5]
+    models = [rt.GraphQuant(Nk, M, g, beta, base) for g in gammas]
+    betas = [beta] * len(models)
+    Es, walkers, state = tempered_ensembles(
+        models, betas, n_rounds=1200, moves_per_round=12, chains=24, seed=7)
+    _check_invariants(models, Es, walkers, state)
+    acc = np.asarray(state.swap_acc)
+    assert acc.sum() > 0, "no swaps ever accepted"
+    Es = np.asarray(Es)
+    for r, m in enumerate(models):
+        got = float(Es[400:, r].mean())
+        want = exact_mean_energy(m, beta)
+        assert abs(got - want) < 0.5, (gammas[r], got, want)
+
+
+def test_n_mismatch_rejected():
+    """Configs swap between slots, so ladder models must share N."""
+    import pytest
+    base = rt.GraphSK(4, seed=2)
+    q = rt.GraphQuant(4, 3, 0.5, 1.0, base)
+    with pytest.raises(AssertionError, match="share N"):
+        tempered_ensembles([base, q], [1.0, 1.0], 2, chains=2)
