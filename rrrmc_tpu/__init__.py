@@ -66,5 +66,6 @@ from . import observables
 from . import analysis
 from . import experiments
 from .utils.checkpoint import save_state, load_state
+from .utils import profiling
 
 __version__ = "0.1.0"

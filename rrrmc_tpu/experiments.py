@@ -22,10 +22,17 @@ import jax.numpy as jnp
 
 def runtest(sampler: Callable, model, beta: float, iters: int, *,
             chains: int = 64, step: Optional[int] = None, seed: int = 167,
-            **kw) -> Dict:
+            profile_dir: Optional[str] = None, **kw) -> Dict:
     """Timing harness (runtest, /root/reference/src/RRRMC.jl:733-760):
     run cold (compile included) and warm, report wall-clock, attempted
-    flips/s, acceptance rate, and final mean energy."""
+    flips/s, acceptance rate, and final mean energy.
+
+    profile_dir: capture a jax.profiler trace (utils/profiling.trace) of the
+    warm runs into this directory (view with tensorboard/xprof)."""
+    import contextlib
+
+    from .utils.profiling import trace
+
     step = step or max(1, iters // 100)
     t0 = time.time()
     Es, state = sampler(model, beta, iters, step=step, chains=chains,
@@ -35,12 +42,14 @@ def runtest(sampler: Callable, model, beta: float, iters: int, *,
     # the first state=-shaped call can retrace (different arg structure than
     # the seed= cold call); time the best of two warm repetitions
     t_warm = float("inf")
-    for _ in range(2):
-        t0 = time.time()
-        Es, state = sampler(model, beta, iters, step=step, chains=chains,
-                            state=state, **kw)
-        np.asarray(state.E)
-        t_warm = min(t_warm, time.time() - t0)
+    ctx = (trace(profile_dir) if profile_dir else contextlib.nullcontext())
+    with ctx:
+        for _ in range(2):
+            t0 = time.time()
+            Es, state = sampler(model, beta, iters, step=step, chains=chains,
+                                state=state, **kw)
+            np.asarray(state.E)
+            t_warm = min(t_warm, time.time() - t0)
     Es = np.asarray(Es)
     return {
         "sampler": getattr(sampler, "__name__", str(sampler)),

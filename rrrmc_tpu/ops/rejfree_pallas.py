@@ -43,7 +43,16 @@ fills the checkpoint grid with samplers.bkl._fill_checkpoints — the batch
 generalization of the reference's drain loops
 (/root/reference/src/RRRMC.jl:339-344,402-407).
 
-Restricted to integer-coupling, field-free LatticeEA (as the sweep kernel).
+Two model families share the race machinery and differ only in how the
+local-field table is produced each move:
+
+* integer-coupling, field-free LatticeEA — lf from the lattice roll identity
+  (as the sweep kernel);
+* integer FullyConnected (GraphSK, densify()'d sparse graphs, |J| <= 127,
+  N <= 4096) — lf from one [NP, NP] x [NP, BT] bf16 MXU matmul per move
+  (exact in f32 accumulation; integer fields supported). N is padded to a
+  lane multiple with frozen spins masked out of the race and out of z.
+
 Exact int32 energies; the sampling law is exact up to f32 rounding of the
 race scores (same order as the f32 exp() in every Metropolis kernel here).
 """
@@ -239,43 +248,287 @@ def rejfree_run(Jp, Jm, beta2s, sigma, E, coord, Es, seed0, target, step,
     return sigma, E, coord, Es
 
 
+# ---------------------------------------------------------------------------
+# Dense variant: FullyConnected (SK / densified sparse) models. Same
+# exponential-race move; the per-move local-field table comes from ONE
+# [NP, NP] x [NP, BT] bf16 matmul on the MXU instead of lattice rolls (exact:
+# |J| <= 127 integer couplings, spins +-1, f32 accumulation, row sums < 2^24 —
+# the same argument as the delayed-update sweep, models/dense.py:35-38).
+# Mosaic has no per-lane dynamic row addressing, so an O(deg) incremental lf
+# update is impossible; recomputing lf via the matmul is the same MXU cost as
+# the rank-1 update J @ onehot would be and is stateless (masked no-op moves
+# cannot desync anything). N is padded to a lane multiple with zero-coupled
+# frozen spins that are masked OUT of the race and out of z, so the sampled
+# law is exactly BKL/WTM on the physical N sites.
+# ---------------------------------------------------------------------------
+
+
+def _rejfree_dense_kernel(seed_ref, beta2s_ref, target_ref, jb_ref, h_ref,
+                          sigma_ref, E_ref, coord_ref,
+                          sigma_out, E_out, coord_out, cs_out, es_out,
+                          *, N, NP, BT, n_moves, wtm):
+    """One chunk of `n_moves` dense rejection-free moves, [NP, BT] block.
+
+    jb_ref [NP, NP] bf16 (zero-padded), h_ref [NP, 1] int32; sites >= N are
+    padding: frozen at +1, excluded from the race and from z."""
+    seed_p = program_seed(seed_ref[0], pl.program_id(0))
+    pltpu.prng_seed(seed_p)
+    salt0 = seed_p * jnp.int32(1000003)
+    beta2s = beta2s_ref[0]
+    target = target_ref[0]
+    iota_nb = jax.lax.broadcasted_iota(jnp.int32, (NP, BT), 0)
+    valid = iota_nb < N
+    inv32 = jnp.float32(2.0 ** -32)
+    half_f = jnp.float32(0.5)
+    inf = jnp.float32(3.0e38)
+
+    def to_uniform(rb):
+        return rb.astype(jnp.float32) * inv32 + half_f
+
+    def move(m, carry):
+        sig, E, coord = carry
+        active = coord < target                       # [1, BT]
+        lf = jax.lax.dot_general(
+            jb_ref[:], sig.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+        lf = lf + h_ref[:]
+        half = sig * lf                               # dE_int = 2*half
+        bE = beta2s * jnp.maximum(half, 0).astype(jnp.float32)
+        u = to_uniform(random_bits((NP, BT), salt0 + 3 * m))
+        score = jnp.where(valid, jnp.log(-jnp.log(u)) + bE, inf)
+        mrow = jnp.min(score, axis=0, keepdims=True)  # [1, BT]
+        sel = score == mrow
+        imin = jnp.min(jnp.where(sel, iota_nb, NP), axis=0, keepdims=True)
+        onehot = iota_nb == imin                      # exact single winner
+        dE_i = jnp.sum(jnp.where(onehot, 2 * half, 0), axis=0,
+                       keepdims=True, dtype=jnp.int32)
+        sig = jnp.where(onehot & active, -sig, sig)
+        E = E + jnp.where(active, dE_i, 0)
+        if wtm:
+            coord = coord + jnp.where(active, jnp.exp(mrow),
+                                      jnp.float32(0.0))
+        else:
+            z = jnp.sum(jnp.where(valid, jnp.exp(-bE), jnp.float32(0.0)),
+                        axis=0, keepdims=True)        # [1, BT]
+            u2 = to_uniform(random_bits((1, BT), salt0 + 3 * m + 1))
+            p = z * jnp.float32(1.0 / N)
+            denom = jnp.log1p(-jnp.minimum(p, jnp.float32(1 - 1e-6)))
+            sk = jnp.floor(jnp.log(jnp.maximum(1 - u2, jnp.float32(1e-38)))
+                           / denom)
+            skip = jnp.minimum(sk, jnp.float32(_SKIP_CAP)).astype(jnp.int32)
+            skip = jnp.where(p >= 1.0, 0, skip)
+            coord = coord + jnp.where(active, skip + 1, 0)
+        cs_out[pl.ds(m, 1), :] = coord
+        es_out[pl.ds(m, 1), :] = E
+        return sig, E, coord
+
+    sig0 = sigma_ref[:].astype(jnp.int32)
+    sig, E, coord = jax.lax.fori_loop(
+        0, n_moves, move, (sig0, E_ref[:], coord_ref[:]))
+    sigma_out[:] = sig.astype(jnp.int8)
+    E_out[:] = E
+    coord_out[:] = coord
+
+
+@partial(jax.jit, static_argnames=("n_phys", "block_chains", "n_moves",
+                                   "wtm"))
+def _pallas_rejfree_dense_chunk(sigma, E, coord, Jb, hcol, seed, beta2s,
+                                target, *, n_phys, block_chains, n_moves,
+                                wtm):
+    """sigma [B, NP] int8 (rows >= n_phys are +1 padding), Jb [NP, NP] bf16,
+    hcol [NP, 1] int32 -> same stream outputs as the lattice chunk."""
+    sigmaT = sigma.T
+    NP, B = sigmaT.shape
+    BT = block_chains
+    grid = (B // BT,)
+    ct = jnp.float32 if wtm else jnp.int32
+    kernel = partial(_rejfree_dense_kernel, N=n_phys, NP=NP, BT=BT,
+                     n_moves=n_moves, wtm=wtm)
+    row = pl.BlockSpec((1, BT), lambda j: (0, j), memory_space=pltpu.VMEM)
+    stream = pl.BlockSpec((n_moves, BT), lambda j: (0, j),
+                          memory_space=pltpu.VMEM)
+    sig_out, E_out, coord_out, cs, es = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # seed
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # beta2s
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # target
+            pl.BlockSpec((NP, NP), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),      # Jb
+            pl.BlockSpec((NP, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),      # h
+            pl.BlockSpec((NP, BT), lambda j: (0, j), memory_space=pltpu.VMEM),
+            row,                                        # E
+            row,                                        # coord
+        ],
+        out_specs=[
+            pl.BlockSpec((NP, BT), lambda j: (0, j), memory_space=pltpu.VMEM),
+            row, row, stream, stream,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((NP, B), jnp.int8),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+            jax.ShapeDtypeStruct((1, B), ct),
+            jax.ShapeDtypeStruct((n_moves, B), ct),
+            jax.ShapeDtypeStruct((n_moves, B), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=_INTERPRET,
+    )(seed, beta2s, target, Jb, hcol, sigmaT,
+      E[None, :].astype(jnp.int32), coord[None, :].astype(ct))
+    return sig_out.T, E_out[0], coord_out[0], cs, es
+
+
+@partial(jax.jit, static_argnames=("n_phys", "bt", "chunk_moves", "wtm"))
+def rejfree_dense_run(Jb, hcol, beta2s, sigma, E, coord, Es, seed0, target,
+                      step, scale, *, n_phys, bt, chunk_moves, wtm):
+    """Dense analog of `rejfree_run`: whole hookless run in ONE jit. sigma is
+    the UNPADDED [B, N] int8 state; padding to Jb's NP happens here once."""
+    from ..samplers.bkl import _fill_checkpoints
+
+    NP = Jb.shape[0]
+    B = sigma.shape[0]
+    pad = NP - n_phys
+    if pad:
+        sigma = jnp.concatenate(
+            [sigma, jnp.ones((B, pad), jnp.int8)], axis=1)
+    target_arr = target.reshape(1)
+
+    def cond(carry):
+        _, _, coord, _, _ = carry
+        return jnp.min(coord) < target
+
+    def body(carry):
+        sigma, E, coord, Es, k = carry
+        seed = (seed0 + k * jnp.int32(7919)).reshape(1)
+        x_start = coord
+        e_start = E.astype(Es.dtype) * scale
+        sigma, E, coord, cs, es = _pallas_rejfree_dense_chunk(
+            sigma, E, coord, Jb, hcol, seed, beta2s, target_arr,
+            n_phys=n_phys, block_chains=bt, n_moves=chunk_moves, wtm=wtm)
+        Es = _fill_checkpoints(Es, step, x_start, e_start, cs,
+                               es.astype(Es.dtype) * scale)
+        return sigma, E, coord, Es, k + 1
+
+    k0 = jnp.zeros((), jnp.int32)
+    sigma, E, coord, Es, _ = jax.lax.while_loop(
+        cond, body, (sigma, E, coord, Es, k0))
+    return sigma[:, :n_phys], E, coord, Es
+
+
+#: dense rejfree J budget: bf16 [NP, NP] must fit VMEM beside the state
+#: and stream buffers (128MB scoped limit)
+_DENSE_NP_MAX = 4096
+
+#: id(J)-keyed memo for the dense eligibility host checks (avoids an O(N^2)
+#: device->host pull per bklMC/wtmMC call)
+_DENSE_OK_CACHE: dict = {}
+
+
+def _dense_rejfree_ok(model) -> bool:
+    from ..samplers.common import bound_cache_put
+
+    if not (jnp.issubdtype(model.J.dtype, jnp.integer)
+            and jnp.issubdtype(model.h.dtype, jnp.integer)
+            and 8 <= model.N <= _DENSE_NP_MAX):
+        return False
+    key = id(model.J)
+    ent = _DENSE_OK_CACHE.get(key)
+    if ent is None or ent[0] is not model.J:
+        J = np.asarray(model.J).astype(np.int64)
+        ok = bool(np.abs(J).max() <= 127
+                  and np.abs(J).sum(axis=1).max() < (1 << 24))
+        ent = (model.J, ok)
+        bound_cache_put(_DENSE_OK_CACHE, key, ent)
+    return ent[1]
+
+
 def pallas_rejfree_eligible(model, chains: int) -> bool:
+    from ..models.dense import FullyConnected
     from ..models.lattice import LatticeEA
-    return (isinstance(model, LatticeEA)
-            and jnp.issubdtype(model.Jd.dtype, jnp.integer)
-            and model.N >= 8
-            and int(jnp.max(jnp.abs(model.h))) == 0
-            and chains % 128 == 0)
+
+    if chains % 128 != 0:
+        return False
+    if isinstance(model, LatticeEA):
+        return (jnp.issubdtype(model.Jd.dtype, jnp.integer)
+                and model.N >= 8
+                and int(jnp.max(jnp.abs(model.h))) == 0)
+    if isinstance(model, FullyConnected):
+        return _dense_rejfree_ok(model)
+    return False
 
 
 class PallasRejectionFree:
-    """Reusable rejection-free runner for an integer LatticeEA model.
+    """Reusable rejection-free runner for an integer LatticeEA or integer
+    FullyConnected (|J| <= 127) model.
 
     mode = "bkl" (virtual-iteration coordinate) or "wtm" (global time)."""
 
     def __init__(self, model, beta: float, mode: str, *,
                  block_chains: int = 128, chunk_moves: int = 1024):
+        from ..models.dense import FullyConnected
         from ..models.lattice import LatticeEA
 
-        assert isinstance(model, LatticeEA)
         assert mode in ("bkl", "wtm")
-        assert jnp.issubdtype(model.Jd.dtype, jnp.integer)
-        assert int(jnp.max(jnp.abs(model.h))) == 0, "fields unsupported"
         assert model.N >= 8, "sublane tiling needs N >= 8"
-        Jp, Jm = _build_dir_tables(model)
-        self.Jp, self.Jm = jnp.asarray(Jp), jnp.asarray(Jm)
         self.beta2s = jnp.asarray([2.0 * beta * model.scale], jnp.float32)
         self.model, self.mode = model, mode
-        self.L, self.D = model.L, model.D
         self.block_chains = block_chains
         self.chunk_moves = chunk_moves
+        if isinstance(model, LatticeEA):
+            assert jnp.issubdtype(model.Jd.dtype, jnp.integer)
+            assert int(jnp.max(jnp.abs(model.h))) == 0, "fields unsupported"
+            Jp, Jm = _build_dir_tables(model)
+            self.Jp, self.Jm = jnp.asarray(Jp), jnp.asarray(Jm)
+            self.L, self.D = model.L, model.D
+            self.kind = "lattice"
+        else:
+            assert isinstance(model, FullyConnected), type(model)
+            assert _dense_rejfree_ok(model), \
+                "dense rejfree needs integer J/h, |J|<=127, N<=4096"
+            NP = -(-model.N // 128) * 128
+            J = np.zeros((NP, NP), np.float32)
+            J[:model.N, :model.N] = np.asarray(model.J)
+            h = np.zeros((NP, 1), np.int32)
+            h[:model.N, 0] = np.asarray(model.h)
+            self.Jb = jnp.asarray(J, jnp.bfloat16)
+            self.hcol = jnp.asarray(h)
+            self.kind = "dense"
+
+    def run(self, sigma, E, coord, Es, seed, target, step, scale):
+        """Whole hookless run (while_loop over kernel chunks, one jit)."""
+        wtm = self.mode == "wtm"
+        if self.kind == "lattice":
+            return rejfree_run(
+                self.Jp, self.Jm, self.beta2s, sigma, E, coord, Es, seed,
+                target, step, scale, L=self.L, D=self.D,
+                bt=self.block_chains, chunk_moves=self.chunk_moves, wtm=wtm)
+        return rejfree_dense_run(
+            self.Jb, self.hcol, self.beta2s, sigma, E, coord, Es, seed,
+            target, step, scale, n_phys=self.model.N, bt=self.block_chains,
+            chunk_moves=self.chunk_moves, wtm=wtm)
 
     def chunk(self, sigma, E, coord, *, seed, target):
         """Advance every chain by `chunk_moves` rejection-free moves."""
-        return _pallas_rejfree_chunk(
-            sigma, E, coord, self.Jp, self.Jm,
-            jnp.asarray([seed], jnp.int32), self.beta2s,
-            jnp.asarray([target],
-                        jnp.float32 if self.mode == "wtm" else jnp.int32),
-            L=self.L, D=self.D, block_chains=self.block_chains,
+        tgt = jnp.asarray([target],
+                          jnp.float32 if self.mode == "wtm" else jnp.int32)
+        if self.kind == "lattice":
+            return _pallas_rejfree_chunk(
+                sigma, E, coord, self.Jp, self.Jm,
+                jnp.asarray([seed], jnp.int32), self.beta2s, tgt,
+                L=self.L, D=self.D, block_chains=self.block_chains,
+                n_moves=self.chunk_moves, wtm=(self.mode == "wtm"))
+        B = sigma.shape[0]
+        NP = self.Jb.shape[0]
+        if NP > self.model.N:
+            sigma = jnp.concatenate(
+                [sigma, jnp.ones((B, NP - self.model.N), jnp.int8)], axis=1)
+        sig, E, coord, cs, es = _pallas_rejfree_dense_chunk(
+            sigma, E, coord, self.Jb, self.hcol,
+            jnp.asarray([seed], jnp.int32), self.beta2s, tgt,
+            n_phys=self.model.N, block_chains=self.block_chains,
             n_moves=self.chunk_moves, wtm=(self.mode == "wtm"))
+        return sig[:, :self.model.N], E, coord, cs, es

@@ -126,17 +126,18 @@ def _rejfree_mc(model, beta: float, mode: str, target, step, chains: int,
                 seed: int, state: MCState, n_ckpt: int,
                 chunk_moves: int = 1024, block_chains: int = 128):
     """Shared Pallas rejection-free driver for bklMC / wtmMC on integer
-    LatticeEA models (ops/rejfree_pallas.py). Hookless only; `accepted` is
-    not updated (as the other Pallas paths)."""
+    LatticeEA / FullyConnected models (ops/rejfree_pallas.py). Hookless only;
+    `accepted` is not updated (as the other Pallas paths)."""
     import jax.numpy as jnp
-    from ..ops.rejfree_pallas import PallasRejectionFree, rejfree_run
+    from ..ops.rejfree_pallas import PallasRejectionFree
     from .common import bound_cache_put, init_aux_batch
 
     assert chains % block_chains == 0, (chains, block_chains)
-    key = (id(model.Jd), float(beta), mode, chunk_moves, block_chains)
+    Jid = model.Jd if hasattr(model, "Jd") else model.J
+    key = (id(Jid), float(beta), mode, chunk_moves, block_chains)
     ent = _REJFREE_CACHE.get(key)
-    if ent is None or ent[0] is not model.Jd:
-        ent = (model.Jd, PallasRejectionFree(
+    if ent is None or ent[0] is not Jid:
+        ent = (Jid, PallasRejectionFree(
             model, beta, mode, block_chains=block_chains,
             chunk_moves=chunk_moves))
         bound_cache_put(_REJFREE_CACHE, key, ent)
@@ -145,12 +146,11 @@ def _rejfree_mc(model, beta: float, mode: str, target, step, chains: int,
     ct = jnp.float32 if wtm else jnp.int32
     Es = jnp.zeros((chains, n_ckpt), ftype())
     coord = jnp.zeros((chains,), ct)
-    sigma, E, coord, Es = rejfree_run(
-        rf.Jp, rf.Jm, rf.beta2s, state.sigma, state.E.astype(jnp.int32),
-        coord, Es, jnp.asarray(seed % (2 ** 31), jnp.int32),
+    sigma, E, coord, Es = rf.run(
+        state.sigma, state.E.astype(jnp.int32), coord, Es,
+        jnp.asarray(seed % (2 ** 31), jnp.int32),
         jnp.asarray(target, ct), jnp.asarray(step, ct),
-        jnp.asarray(model.scale, ftype()),
-        L=rf.L, D=rf.D, bt=block_chains, chunk_moves=chunk_moves, wtm=wtm)
+        jnp.asarray(model.scale, ftype()))
     aux = init_aux_batch(model, sigma)
     return Es, MCState(sigma=sigma, aux=aux, E=E.astype(state.E.dtype),
                        key=state.key, accepted=state.accepted)

@@ -126,29 +126,55 @@ def bench_site_kernel():
             "beta": 2.0, "moves_chains_per_s": iters * B / dt}
 
 
+def bench_rejfree_dense():
+    """Dense (FullyConnected) BKL kernel: SK N=1024 at beta=4."""
+    B, beta, nseg = 1024, 4.0, 4
+    X = rt.GraphSK(1024, seed=4)
+    seg, step = 2_000_000, 20_000
+    _, st = rt.bklMC(X, beta, iters=50_000, step=500, chains=B, seed=3,
+                     backend="pallas")
+    sync(st.E)
+    def rep():
+        st2 = st
+        for g in range(nseg):
+            _, st2 = rt.bklMC(X, beta, seg, step=step, chains=B, seed=5 + g,
+                              state=st2, backend="pallas")
+        sync(st2.E)
+        return st2
+    dt, st2 = timed_best(rep)
+    E_re = _recompute_E(X, st2.sigma)
+    assert int(np.max(np.abs(sync(E_re) - sync(st2.E)))) == 0
+    return {"kernel": "rejfree_bkl_dense_sk", "N": X.N, "chains": B,
+            "beta": beta,
+            "virtual_iters_chains_per_s": seg * nseg * B / dt}
+
+
 def bench_rejfree(mode):
     L, B, beta, nseg = 8, 1024, 4.0, 4
     X = rt.GraphEA(L, 3, (-1, 1), seed=11)
     fn = rt.bklMC if mode == "bkl" else rt.wtmMC
     if mode == "bkl":
         seg, step = 10_000_000, 100_000    # virtual iterations per segment
+        kw = dict()
     else:
-        seg, step = 1000.0, 10.0           # wtm: global time units
+        # wtm's 3rd arg is a SAMPLE COUNT; tmax = samples * step time units
+        seg, step = 100, 10.0              # 1000 global time units / segment
+        kw = dict()
     # warm-up + compile (short target), then nseg state-threaded segments
     # per rep — each segment is one bounded dispatch (relay limit ~60s)
-    Es, st = fn(X, beta, seg if mode == "bkl" else 100.0,
+    Es, st = fn(X, beta, seg if mode == "bkl" else 100,
                 step=step if mode == "bkl" else 1.0,
-                chains=B, seed=3, backend="pallas")
+                chains=B, seed=3, backend="pallas", **kw)
     sync(st.E)
     def rep():
         st2 = st
         for g in range(nseg):
             _, st2 = fn(X, beta, seg, step=step, chains=B, seed=5 + g,
-                        state=st2, backend="pallas")
+                        state=st2, backend="pallas", **kw)
         sync(st2.E)
         return st2
     dt, st2 = timed_best(rep)
-    iters = seg * nseg
+    iters = seg * nseg * (1 if mode == "bkl" else step)
     E_re = _recompute_E(X, st2.sigma)
     assert int(np.max(np.abs(sync(E_re) - sync(st2.E)))) == 0
     unit = ("virtual_iters_chains_per_s" if mode == "bkl"
@@ -157,12 +183,13 @@ def bench_rejfree(mode):
             unit: iters * B / dt}
 
 
-def kernels_section(done=()):
+def kernels_section(done=(), checkpoint=None):
     out = [r for r in done]
     have = {r["kernel"] for r in out}
     names = ["ea3d_checkerboard_sweep", "sk_dense_vmem",
              "sk_dense_hbm_streamed", "rrg_densified_hbm",
-             "single_site_metropolis", "rejfree_bkl", "rejfree_wtm"]
+             "single_site_metropolis", "rejfree_bkl", "rejfree_wtm",
+             "rejfree_bkl_dense_sk"]
     for name, fn in zip(names, (bench_ea3d_sweep,
                lambda: bench_dense("sk_dense_vmem", rt.GraphSK(1024, seed=4)),
                lambda: bench_dense("sk_dense_hbm_streamed",
@@ -173,12 +200,15 @@ def kernels_section(done=()):
                    B=1024),
                bench_site_kernel,
                lambda: bench_rejfree("bkl"),
-               lambda: bench_rejfree("wtm"))):
+               lambda: bench_rejfree("wtm"),
+               bench_rejfree_dense)):
         if name in have:
             continue
         r = fn()
         print(json.dumps(r), flush=True)
         out.append(r)
+        if checkpoint:
+            checkpoint(out)
     return out
 
 
@@ -206,16 +236,20 @@ def factors_section():
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     path = sys.argv[2] if len(sys.argv) > 2 else "bench_all_results.json"
-    res = {"device": str(jax.devices()[0])}
     import os
-    done = ()
-    if os.path.exists(path):
+    res = {}
+    if os.path.exists(path):          # resume: keep every prior section
         with open(path) as f:
-            done = json.load(f).get("kernels", ())
-    if which in ("kernels", "all"):
-        res["kernels"] = kernels_section(done)
+            res = json.load(f)
+    res["device"] = str(jax.devices()[0])
+    done = res.get("kernels", ())
+    def checkpoint(out):
+        res["kernels"] = out
         with open(path, "w") as f:
             json.dump(res, f, indent=1)
+
+    if which in ("kernels", "all"):
+        res["kernels"] = kernels_section(done, checkpoint)
     if which in ("factors", "all"):
         res["factors"] = factors_section()
     with open(path, "w") as f:

@@ -96,3 +96,66 @@ def test_bkl_pallas_warm_start(rejfree_interp):
                         backend="pallas", state=st)
     E_re = jax.jit(jax.vmap(X.energy))(st2.sigma)
     np.testing.assert_array_equal(np.asarray(E_re), np.asarray(st2.E))
+
+
+# ---------------------------------------------------------------------------
+# Dense (FullyConnected) rejection-free kernel: matmul local fields, padded
+# sites masked out of the race and out of z.
+# ---------------------------------------------------------------------------
+
+
+def test_bkl_dense_invariant_sk(rejfree_interp):
+    """GraphSK (N=64 -> padded to 128): exact invariant + XLA-law agreement."""
+    import rrrmc_tpu as rt
+
+    X = rt.GraphSK(64, seed=5)
+    Es, st = rt.bklMC(X, 1.0, iters=20_000, step=200, chains=128, seed=3,
+                      backend="pallas")
+    E_re = jax.jit(jax.vmap(X.energy))(st.sigma)
+    np.testing.assert_array_equal(np.asarray(E_re), np.asarray(st.E))
+    assert np.all(np.isfinite(np.asarray(Es)))
+    Ex, _ = rt.bklMC(X, 1.0, iters=20_000, step=200, chains=128, seed=4,
+                     backend="xla")
+    a = np.asarray(Es)[:, 50:].mean() / X.N
+    b = np.asarray(Ex)[:, 50:].mean() / X.N
+    assert abs(a - b) < 0.03, (a, b)
+
+
+@pytest.mark.parametrize("mode", ["bkl", "wtm"])
+def test_rejfree_dense_boltzmann_with_fields(rejfree_interp, mode):
+    """Exact 2^N Boltzmann check on an integer FullyConnected WITH fields
+    (N=12 -> 116 masked padding rows; fields exercise the h path)."""
+    import rrrmc_tpu as rt
+
+    rng = np.random.default_rng(13)
+    N = 12
+    A = rng.integers(-2, 3, size=(N, N))
+    J = (A + A.T)
+    h = rng.integers(-2, 3, size=N)
+    X = rt.make_fully_connected(J * 0.25, h * 0.25, scale=0.25)
+    beta = 0.8
+    E_exact = _boltzmann_mean(X, beta)
+    if mode == "bkl":
+        Es, _ = rt.bklMC(X, beta, iters=50_000, step=200, chains=128, seed=9,
+                         backend="pallas")
+    else:
+        Es, _ = rt.wtmMC(X, beta, samples=250, step=40.0, chains=128, seed=9,
+                         backend="pallas")
+    Es = np.asarray(Es)
+    got = Es[:, Es.shape[1] // 4:].mean()
+    sem = Es[:, Es.shape[1] // 4:].std() / np.sqrt(Es.shape[0] * 3.0)
+    assert abs(got - E_exact) < max(5 * sem, 0.05), (got, E_exact, sem)
+
+
+def test_wtm_dense_densified_rrg_warm_start(rejfree_interp):
+    """densify(GraphRRG) rides the dense kernel; state round-trips."""
+    import rrrmc_tpu as rt
+
+    X = rt.densify(rt.GraphRRG(32, 3, (-1, 1), seed=21))
+    _, st = rt.wtmMC(X, 2.0, samples=40, step=5.0, chains=128, seed=5,
+                     backend="pallas")
+    Es2, st2 = rt.wtmMC(X, 2.0, samples=40, step=5.0, chains=128, seed=8,
+                        backend="pallas", state=st)
+    E_re = jax.jit(jax.vmap(X.energy))(st2.sigma)
+    np.testing.assert_array_equal(np.asarray(E_re), np.asarray(st2.E))
+    assert np.all(np.isfinite(np.asarray(Es2)))
