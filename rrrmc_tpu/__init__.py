@@ -61,7 +61,7 @@ from .samplers.wtm import wtmMC
 from .samplers.eo import extremal_opt, EOResult
 from .samplers.common import MCState, init_state, rebind, DEFAULT_SEED
 from .parallel.tempering import (parallel_tempering, tempered_ensembles,
-                                 energies_by_rank)
+                                 energies_by_rank, sweep_kernel)
 from . import observables
 from . import analysis
 from . import experiments

@@ -233,6 +233,59 @@ class ETState:
     swap_acc: jnp.ndarray  # [T, B] int32 accepted swap count (per lead pair)
 
 
+#: per-model color-mask cache (greedy coloring is an eager host transform;
+#: keyed by id with the array held against id reuse)
+_MASK_CACHE: dict = {}
+
+
+def _cached_masks(model):
+    from ..samplers.common import bound_cache_put
+
+    key = id(model.J)
+    ent = _MASK_CACHE.get(key)
+    if ent is None or ent[0] is not model.J:
+        ent = (model.J, color_masks(model))
+        bound_cache_put(_MASK_CACHE, key, ent)
+    return ent[1]
+
+
+def sweep_kernel(model, beta, n_moves, st: MCState, masks=None) -> MCState:
+    """Throughput move kernel for `tempered_ensembles`: color-mask
+    checkerboard sweeps instead of single-site moves (~N times fewer scan
+    steps per round). Pairwise slot models only — `rt.flatten()` a
+    Quant/LE/AddFields/Mixed wrapper ladder first. `n_moves` is rounded up
+    to whole sweeps of N attempted flips.
+
+    `masks` is supplied by tempered_ensembles via the `prepare` hook below:
+    the greedy coloring is a host-side transform on concrete neighbor
+    tables, so it must run OUTSIDE the jitted round (inside, `model` is a
+    traced pytree)."""
+    assert isinstance(model, Pairwise), \
+        "sweep_kernel needs Pairwise slots; rt.flatten() wrapper stacks first"
+    if masks is None:
+        masks = _cached_masks(model)
+    sweeps = max(1, -(-int(n_moves) // model.N))
+    step1 = jax.vmap(partial(_sweep_once, model, beta, masks))
+
+    def body(carry, _):
+        return step1(*carry), None
+
+    (sigma, aux, E, key), _ = jax.lax.scan(
+        body, (st.sigma, st.aux, st.E, st.key), None, length=sweeps)
+    return MCState(sigma=sigma, aux=aux, E=E, key=key, accepted=st.accepted)
+
+
+def _sweep_prepare(model):
+    assert isinstance(model, Pairwise), \
+        "sweep_kernel needs Pairwise slots; rt.flatten() wrapper stacks first"
+    return _cached_masks(model)
+
+
+#: host-side per-slot preparation: tempered_ensembles calls this on the
+#: CONCRETE models before tracing and threads the result into the kernel
+sweep_kernel.prepare = _sweep_prepare
+
+
 def _metropolis_moves(model, beta, n_moves, st: MCState) -> MCState:
     from ..samplers.metropolis import make_metropolis_step
     step1 = jax.vmap(make_metropolis_step(model, beta))
@@ -246,11 +299,15 @@ def _metropolis_moves(model, beta, n_moves, st: MCState) -> MCState:
     return MCState(sigma=sigma, aux=aux, E=E, key=key, accepted=accepted)
 
 
-def _ensemble_round(models, betas_f, n_moves, kernel, state: ETState,
-                    swap_key, parity):
+def _ensemble_round(models, betas_f, n_moves, kernel, preps,
+                    state: ETState, swap_key, parity):
     T = len(models)
-    slots = [kernel(m, b, n_moves, st)
-             for m, b, st in zip(models, betas_f, state.slots)]
+    if preps is None:
+        slots = [kernel(m, b, n_moves, st)
+                 for m, b, st in zip(models, betas_f, state.slots)]
+    else:
+        slots = [kernel(m, b, n_moves, st, p)
+                 for m, b, st, p in zip(models, betas_f, state.slots, preps)]
     B = slots[0].sigma.shape[0]
 
     # physical energies of every slot at its own ensemble
@@ -317,13 +374,13 @@ def _ensemble_round(models, betas_f, n_moves, kernel, state: ETState,
 
 
 @partial(jax.jit, static_argnames=("n_rounds", "n_moves", "kernel"))
-def _run_ensembles(models, betas_f, state: ETState, base_key,
+def _run_ensembles(models, betas_f, state: ETState, base_key, preps,
                    n_rounds: int, n_moves: int, kernel):
     def body(carry, i):
         state = carry
         swap_key = jax.random.fold_in(base_key, i)
         state, E_phys = _ensemble_round(models, betas_f, n_moves, kernel,
-                                        state, swap_key, i % 2)
+                                        preps, state, swap_key, i % 2)
         return state, (E_phys, state.walker)
 
     state, (Es, walkers) = jax.lax.scan(body, state, jnp.arange(n_rounds))
@@ -345,7 +402,12 @@ def tempered_ensembles(models, betas, n_rounds: int, *,
         coupling-constant ladder).
     moves_per_round: Metropolis moves per slot between swap attempts
         (default N). kernel(model, beta, n_moves, MCState) -> MCState
-        overrides the per-slot move kernel.
+        overrides the per-slot move kernel (e.g. `sweep_kernel` for
+        color-mask checkerboard sweeps on Pairwise ladders). If the kernel
+        has a `.prepare(model)` attribute it is called on each CONCRETE
+        model outside the trace and the result passed as a 5th argument
+        (host-side transforms like graph coloring can't run on the traced
+        models inside the round).
 
     Returns (Es [n_rounds, T, B] physical energies per slot — slots ARE the
     ladder rungs here, no rank sorting needed —, walkers [n_rounds, T, B]
@@ -366,9 +428,12 @@ def tempered_ensembles(models, betas, n_rounds: int, *,
         state = ETState(slots=slots, walker=walker,
                         swap_acc=jnp.zeros((T, chains), jnp.int32))
     base_key = jax.random.key(seed ^ 0x7E3B)
+    kernel = kernel or _metropolis_moves
+    prepare = getattr(kernel, "prepare", None)
+    preps = tuple(prepare(m) for m in models) if prepare else None
     state, Es, walkers = _run_ensembles(
-        tuple(models), betas_f, state, base_key, int(n_rounds), n_moves,
-        kernel or _metropolis_moves)
+        tuple(models), betas_f, state, base_key, preps, int(n_rounds),
+        n_moves, kernel)
     return Es, walkers, state
 
 

@@ -87,14 +87,17 @@ def bench_dense(name, model, *, B=8192, beta=2.0, sweeps=None, nseg=4):
         # target ~2.4e11 attempted flips per timed rep (~25s at 1e10/s),
         # split into nseg short dispatches (relay dies past ~60s/dispatch)
         sweeps = max(8, int(2.4e11 / (B * N) / nseg))
-    Es, st = rt.sweepMC_dense(model, beta, 10, chains=B, seed=3,
+    Es, st = rt.sweepMC_dense(model, beta, 10, step=10, chains=B, seed=3,
                               backend="pallas")
     sync(st.E)
     def rep():
+        # step == sweeps: ONE kernel dispatch per segment (the pallas path
+        # loops python-side per checkpoint — step=1 would mean `sweeps`
+        # dispatches and the relay round-trips dominate)
         st2 = st
         for g in range(nseg):
-            Es, st2 = rt.sweepMC_dense(model, beta, sweeps, chains=B,
-                                       seed=5 + g, state=st2,
+            Es, st2 = rt.sweepMC_dense(model, beta, sweeps, step=sweeps,
+                                       chains=B, seed=5 + g, state=st2,
                                        backend="pallas")
         sync(st2.E)
         return st2

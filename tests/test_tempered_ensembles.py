@@ -82,3 +82,35 @@ def test_n_mismatch_rejected():
     q = rt.GraphQuant(4, 3, 0.5, 1.0, base)
     with pytest.raises(AssertionError, match="share N"):
         tempered_ensembles([base, q], [1.0, 1.0], 2, chains=2)
+
+
+def test_sweep_kernel_beta_ladder_boltzmann():
+    """sweep_kernel (color-mask sweeps) as the move kernel: each rung's
+    marginal must still match the exact Boltzmann mean at its beta."""
+    X = rt.GraphRRG(14, 3, (-1, 1), seed=23)
+    betas = [0.4, 0.8, 1.4]
+    models = [X] * len(betas)
+    Es, walkers, st = tempered_ensembles(
+        models, betas, n_rounds=300, moves_per_round=3 * X.N, chains=32,
+        seed=11, kernel=rt.sweep_kernel)
+    _check_invariants(models, Es, walkers, st)
+    Es = np.asarray(Es, np.float64)[100:]            # [rounds, T, B]
+    acc = np.asarray(st.swap_acc)
+    assert acc.mean() > 1.0, acc.mean()              # swaps flow
+    for r, beta in enumerate(betas):
+        exact = exact_mean_energy(X, beta)
+        got = Es[:, r].mean()
+        sem = Es[:, r].std() / np.sqrt(Es[:, r].size / 10.0)
+        assert abs(got - exact) < max(5 * sem, 0.1), (beta, got, exact, sem)
+
+
+def test_sweep_kernel_rejects_wrapper():
+    base = rt.GraphSK(16, seed=3)
+    q = rt.GraphQuant(16, 3, 0.5, 1.0, base)
+    try:
+        tempered_ensembles([q, q], [1.0, 1.0], n_rounds=1, chains=8,
+                           kernel=rt.sweep_kernel)
+    except AssertionError as e:
+        assert "flatten" in str(e)
+    else:
+        raise AssertionError("expected a loud rejection for non-Pairwise")
