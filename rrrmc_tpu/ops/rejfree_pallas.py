@@ -28,7 +28,8 @@ move advances time by skip+1 ~ N/z virtual Metropolis iterations (factor
 virtual-iteration throughput far exceeds the Metropolis sweep kernel in the
 low-acceptance regime the rejection-free samplers exist for.
 
-Both samplers share the kernel; they differ only in the time bookkeeping:
+Three samplers share the kernel; they differ in the time bookkeeping and
+(rrr only) an extra acceptance stage:
 
 * BKL: coordinate = virtual iteration count; skip ~ Geometric(z/N) with
   z = sum_i w_i (rand_skip, /root/reference/src/DeltaE.jl:141-144);
@@ -36,7 +37,13 @@ Both samplers share the kernel; they differ only in the time bookkeeping:
   score). Redrawing ALL clocks each move is distributionally identical to
   the reference's neighbor-only redraw by exponential memorylessness (the
   same argument as samplers/wtm.py's dense fallback), and here it is free:
-  the race scores ARE the redraw.
+  the race scores ARE the redraw;
+* RRR (mode="rrr", single models: /root/reference/src/RRRMC.jl:149-210):
+  coordinate = iteration count, +1 per move; after the race picks i ~ w_i/z,
+  a SECOND lf pass on the hypothetically flipped state yields the staged
+  z', and the flip commits with prob min(1, z/z') — evaluated in a
+  shifted-exponential/log domain so the test stays exact when every w
+  underflows f32 at extreme beta.
 
 Checkpoints: the kernel emits per-move (coordinate, E) streams; the driver
 fills the checkpoint grid with samplers.bkl._fill_checkpoints — the batch
@@ -80,13 +87,15 @@ _SKIP_CAP = 1.0e9
 def _rejfree_kernel(seed_ref, beta2s_ref, target_ref, jp_ref, jm_ref,
                     sigma_ref, E_ref, coord_ref,
                     sigma_out, E_out, coord_out, cs_out, es_out,
-                    *, L, D, BT, n_moves, wtm):
-    """One chunk of `n_moves` rejection-free moves for a [N, BT] chain block.
+                    *, L, D, BT, n_moves, mode):
+    """One chunk of `n_moves` race-selected moves for a [N, BT] chain block.
 
-    coord_ref/coord_out/cs_out: f32 global time (wtm) or int32 virtual
-    iterations (bkl). Chains whose coordinate reached target_ref[0] keep
-    racing but apply nothing (masked no-ops; the stream rows they emit are
-    idempotent for the checkpoint fill)."""
+    mode: "bkl" / "wtm" / "rrr". coord_ref/coord_out/cs_out: f32 global time
+    (wtm) or int32 iterations (bkl: virtual rejected-inclusive; rrr: one per
+    move). Chains whose coordinate reached target_ref[0] keep racing but
+    apply nothing (masked no-ops; the stream rows they emit are idempotent
+    for the checkpoint fill)."""
+    wtm = mode == "wtm"
     N = L ** D
     seed_p = program_seed(seed_ref[0], pl.program_id(0))
     pltpu.prng_seed(seed_p)
@@ -138,12 +147,30 @@ def _rejfree_kernel(seed_ref, beta2s_ref, target_ref, jp_ref, jm_ref,
         onehot = iota_nb == imin                      # exact single winner
         dE_i = jnp.sum(jnp.where(onehot, 2 * half, 0), axis=0,
                        keepdims=True, dtype=jnp.int32)
-        sig = jnp.where(onehot & active, -sig, sig)
-        E = E + jnp.where(active, dE_i, 0)
+        if mode == "rrr":
+            # staged z': second lf pass on the hypothetically flipped state;
+            # z/z' compared in a shifted-exponential/log domain so the
+            # acceptance stays exact at any beta (w can underflow f32)
+            sig2 = jnp.where(onehot, -sig, sig)
+            bE2 = beta2s * jnp.maximum(sig2 * local_fields(sig2),
+                                       0).astype(jnp.float32)
+            m1 = jnp.min(bE, axis=0, keepdims=True)   # [1, BT]
+            m2 = jnp.min(bE2, axis=0, keepdims=True)
+            z1 = jnp.sum(jnp.exp(m1 - bE), axis=0, keepdims=True)
+            z2 = jnp.sum(jnp.exp(m2 - bE2), axis=0, keepdims=True)
+            ua = to_uniform(random_bits((1, BT), salt0 + 3 * m + 1))
+            do = active & (jnp.log(ua)
+                           < jnp.log(z1) - jnp.log(z2) + (m2 - m1))
+            sig = jnp.where(onehot & do, -sig, sig)
+            E = E + jnp.where(do, dE_i, 0)
+            coord = coord + jnp.where(active, 1, 0)
+        else:
+            sig = jnp.where(onehot & active, -sig, sig)
+            E = E + jnp.where(active, dE_i, 0)
         if wtm:
             coord = coord + jnp.where(active, jnp.exp(mrow),
                                       jnp.float32(0.0))
-        else:
+        elif mode == "bkl":
             z = jnp.sum(jnp.exp(-bE), axis=0, keepdims=True)   # [1, BT]
             u2 = to_uniform(random_bits((1, BT), salt0 + 3 * m + 1))
             p = z * jnp.float32(1.0 / N)
@@ -166,18 +193,18 @@ def _rejfree_kernel(seed_ref, beta2s_ref, target_ref, jp_ref, jm_ref,
 
 
 @partial(jax.jit, static_argnames=("L", "D", "block_chains", "n_moves",
-                                   "wtm"))
+                                   "mode"))
 def _pallas_rejfree_chunk(sigma, E, coord, Jp, Jm, seed, beta2s, target, *,
-                          L, D, block_chains, n_moves, wtm):
+                          L, D, block_chains, n_moves, mode):
     """sigma [B, N] int8, E [B] int32, coord [B] (f32 wtm / i32 bkl) ->
     (sigma', E', coord', coord_stream [n_moves, B], E_stream [n_moves, B])."""
     sigmaT = sigma.T
     N, B = sigmaT.shape
     BT = block_chains
     grid = (B // BT,)
-    ct = jnp.float32 if wtm else jnp.int32
+    ct = jnp.float32 if mode == "wtm" else jnp.int32
     kernel = partial(_rejfree_kernel, L=L, D=D, BT=BT, n_moves=n_moves,
-                     wtm=wtm)
+                     mode=mode)
     row = pl.BlockSpec((1, BT), lambda j: (0, j), memory_space=pltpu.VMEM)
     stream = pl.BlockSpec((n_moves, BT), lambda j: (0, j),
                           memory_space=pltpu.VMEM)
@@ -213,9 +240,9 @@ def _pallas_rejfree_chunk(sigma, E, coord, Jp, Jm, seed, beta2s, target, *,
     return sig_out.T, E_out[0], coord_out[0], cs, es
 
 
-@partial(jax.jit, static_argnames=("L", "D", "bt", "chunk_moves", "wtm"))
+@partial(jax.jit, static_argnames=("L", "D", "bt", "chunk_moves", "mode"))
 def rejfree_run(Jp, Jm, beta2s, sigma, E, coord, Es, seed0, target, step,
-                scale, *, L, D, bt, chunk_moves, wtm):
+                scale, *, L, D, bt, chunk_moves, mode):
     """Whole hookless rejection-free run in ONE jit: lax.while_loop over
     kernel chunks, checkpoint grid filled per chunk from the (coordinate, E)
     streams (no host sync; the Pallas analog of samplers.bkl._bkl_run).
@@ -237,7 +264,7 @@ def rejfree_run(Jp, Jm, beta2s, sigma, E, coord, Es, seed0, target, step,
         e_start = E.astype(Es.dtype) * scale
         sigma, E, coord, cs, es = _pallas_rejfree_chunk(
             sigma, E, coord, Jp, Jm, seed, beta2s, target_arr,
-            L=L, D=D, block_chains=bt, n_moves=chunk_moves, wtm=wtm)
+            L=L, D=D, block_chains=bt, n_moves=chunk_moves, mode=mode)
         Es = _fill_checkpoints(Es, step, x_start, e_start, cs,
                                es.astype(Es.dtype) * scale)
         return sigma, E, coord, Es, k + 1
@@ -266,11 +293,13 @@ def rejfree_run(Jp, Jm, beta2s, sigma, E, coord, Es, seed0, target, step,
 def _rejfree_dense_kernel(seed_ref, beta2s_ref, target_ref, jb_ref, h_ref,
                           sigma_ref, E_ref, coord_ref,
                           sigma_out, E_out, coord_out, cs_out, es_out,
-                          *, N, NP, BT, n_moves, wtm):
-    """One chunk of `n_moves` dense rejection-free moves, [NP, BT] block.
+                          *, N, NP, BT, n_moves, mode):
+    """One chunk of `n_moves` race-selected moves (mode "bkl" / "wtm" /
+    "rrr"), [NP, BT] block.
 
     jb_ref [NP, NP] bf16 (zero-padded), h_ref [NP, 1] int32; sites >= N are
     padding: frozen at +1, excluded from the race and from z."""
+    wtm = mode == "wtm"
     seed_p = program_seed(seed_ref[0], pl.program_id(0))
     pltpu.prng_seed(seed_p)
     salt0 = seed_p * jnp.int32(1000003)
@@ -285,15 +314,17 @@ def _rejfree_dense_kernel(seed_ref, beta2s_ref, target_ref, jb_ref, h_ref,
     def to_uniform(rb):
         return rb.astype(jnp.float32) * inv32 + half_f
 
+    def dense_lf(s):
+        lf = jax.lax.dot_general(
+            jb_ref[:], s.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+        return lf + h_ref[:]
+
     def move(m, carry):
         sig, E, coord = carry
         active = coord < target                       # [1, BT]
-        lf = jax.lax.dot_general(
-            jb_ref[:], sig.astype(jnp.bfloat16),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(jnp.int32)
-        lf = lf + h_ref[:]
-        half = sig * lf                               # dE_int = 2*half
+        half = sig * dense_lf(sig)                    # dE_int = 2*half
         bE = beta2s * jnp.maximum(half, 0).astype(jnp.float32)
         u = to_uniform(random_bits((NP, BT), salt0 + 3 * m))
         score = jnp.where(valid, jnp.log(-jnp.log(u)) + bE, inf)
@@ -303,12 +334,32 @@ def _rejfree_dense_kernel(seed_ref, beta2s_ref, target_ref, jb_ref, h_ref,
         onehot = iota_nb == imin                      # exact single winner
         dE_i = jnp.sum(jnp.where(onehot, 2 * half, 0), axis=0,
                        keepdims=True, dtype=jnp.int32)
-        sig = jnp.where(onehot & active, -sig, sig)
-        E = E + jnp.where(active, dE_i, 0)
+        if mode == "rrr":
+            # staged z' (second matmul on the hypothetical flip); shifted
+            # exponential/log domain keeps the z/z' test exact at any beta;
+            # padding rows are masked out of both mins and both sums
+            sig2 = jnp.where(onehot, -sig, sig)
+            bE2 = beta2s * jnp.maximum(sig2 * dense_lf(sig2),
+                                       0).astype(jnp.float32)
+            m1 = jnp.min(jnp.where(valid, bE, inf), axis=0, keepdims=True)
+            m2 = jnp.min(jnp.where(valid, bE2, inf), axis=0, keepdims=True)
+            z1 = jnp.sum(jnp.where(valid, jnp.exp(m1 - bE), 0.0),
+                         axis=0, keepdims=True)
+            z2 = jnp.sum(jnp.where(valid, jnp.exp(m2 - bE2), 0.0),
+                         axis=0, keepdims=True)
+            ua = to_uniform(random_bits((1, BT), salt0 + 3 * m + 1))
+            do = active & (jnp.log(ua)
+                           < jnp.log(z1) - jnp.log(z2) + (m2 - m1))
+            sig = jnp.where(onehot & do, -sig, sig)
+            E = E + jnp.where(do, dE_i, 0)
+            coord = coord + jnp.where(active, 1, 0)
+        else:
+            sig = jnp.where(onehot & active, -sig, sig)
+            E = E + jnp.where(active, dE_i, 0)
         if wtm:
             coord = coord + jnp.where(active, jnp.exp(mrow),
                                       jnp.float32(0.0))
-        else:
+        elif mode == "bkl":
             z = jnp.sum(jnp.where(valid, jnp.exp(-bE), jnp.float32(0.0)),
                         axis=0, keepdims=True)        # [1, BT]
             u2 = to_uniform(random_bits((1, BT), salt0 + 3 * m + 1))
@@ -332,19 +383,19 @@ def _rejfree_dense_kernel(seed_ref, beta2s_ref, target_ref, jb_ref, h_ref,
 
 
 @partial(jax.jit, static_argnames=("n_phys", "block_chains", "n_moves",
-                                   "wtm"))
+                                   "mode"))
 def _pallas_rejfree_dense_chunk(sigma, E, coord, Jb, hcol, seed, beta2s,
                                 target, *, n_phys, block_chains, n_moves,
-                                wtm):
+                                mode):
     """sigma [B, NP] int8 (rows >= n_phys are +1 padding), Jb [NP, NP] bf16,
     hcol [NP, 1] int32 -> same stream outputs as the lattice chunk."""
     sigmaT = sigma.T
     NP, B = sigmaT.shape
     BT = block_chains
     grid = (B // BT,)
-    ct = jnp.float32 if wtm else jnp.int32
+    ct = jnp.float32 if mode == "wtm" else jnp.int32
     kernel = partial(_rejfree_dense_kernel, N=n_phys, NP=NP, BT=BT,
-                     n_moves=n_moves, wtm=wtm)
+                     n_moves=n_moves, mode=mode)
     row = pl.BlockSpec((1, BT), lambda j: (0, j), memory_space=pltpu.VMEM)
     stream = pl.BlockSpec((n_moves, BT), lambda j: (0, j),
                           memory_space=pltpu.VMEM)
@@ -382,9 +433,9 @@ def _pallas_rejfree_dense_chunk(sigma, E, coord, Jb, hcol, seed, beta2s,
     return sig_out.T, E_out[0], coord_out[0], cs, es
 
 
-@partial(jax.jit, static_argnames=("n_phys", "bt", "chunk_moves", "wtm"))
+@partial(jax.jit, static_argnames=("n_phys", "bt", "chunk_moves", "mode"))
 def rejfree_dense_run(Jb, hcol, beta2s, sigma, E, coord, Es, seed0, target,
-                      step, scale, *, n_phys, bt, chunk_moves, wtm):
+                      step, scale, *, n_phys, bt, chunk_moves, mode):
     """Dense analog of `rejfree_run`: whole hookless run in ONE jit. sigma is
     the UNPADDED [B, N] int8 state; padding to Jb's NP happens here once."""
     from ..samplers.bkl import _fill_checkpoints
@@ -408,7 +459,7 @@ def rejfree_dense_run(Jb, hcol, beta2s, sigma, E, coord, Es, seed0, target,
         e_start = E.astype(Es.dtype) * scale
         sigma, E, coord, cs, es = _pallas_rejfree_dense_chunk(
             sigma, E, coord, Jb, hcol, seed, beta2s, target_arr,
-            n_phys=n_phys, block_chains=bt, n_moves=chunk_moves, wtm=wtm)
+            n_phys=n_phys, block_chains=bt, n_moves=chunk_moves, mode=mode)
         Es = _fill_checkpoints(Es, step, x_start, e_start, cs,
                                es.astype(Es.dtype) * scale)
         return sigma, E, coord, Es, k + 1
@@ -472,7 +523,7 @@ class PallasRejectionFree:
         from ..models.dense import FullyConnected
         from ..models.lattice import LatticeEA
 
-        assert mode in ("bkl", "wtm")
+        assert mode in ("bkl", "wtm", "rrr")
         assert model.N >= 8, "sublane tiling needs N >= 8"
         self.beta2s = jnp.asarray([2.0 * beta * model.scale], jnp.float32)
         self.model, self.mode = model, mode
@@ -500,16 +551,16 @@ class PallasRejectionFree:
 
     def run(self, sigma, E, coord, Es, seed, target, step, scale):
         """Whole hookless run (while_loop over kernel chunks, one jit)."""
-        wtm = self.mode == "wtm"
         if self.kind == "lattice":
             return rejfree_run(
                 self.Jp, self.Jm, self.beta2s, sigma, E, coord, Es, seed,
                 target, step, scale, L=self.L, D=self.D,
-                bt=self.block_chains, chunk_moves=self.chunk_moves, wtm=wtm)
+                bt=self.block_chains, chunk_moves=self.chunk_moves,
+                mode=self.mode)
         return rejfree_dense_run(
             self.Jb, self.hcol, self.beta2s, sigma, E, coord, Es, seed,
             target, step, scale, n_phys=self.model.N, bt=self.block_chains,
-            chunk_moves=self.chunk_moves, wtm=wtm)
+            chunk_moves=self.chunk_moves, mode=self.mode)
 
     def chunk(self, sigma, E, coord, *, seed, target):
         """Advance every chain by `chunk_moves` rejection-free moves."""
@@ -520,7 +571,7 @@ class PallasRejectionFree:
                 sigma, E, coord, self.Jp, self.Jm,
                 jnp.asarray([seed], jnp.int32), self.beta2s, tgt,
                 L=self.L, D=self.D, block_chains=self.block_chains,
-                n_moves=self.chunk_moves, wtm=(self.mode == "wtm"))
+                n_moves=self.chunk_moves, mode=self.mode)
         B = sigma.shape[0]
         NP = self.Jb.shape[0]
         if NP > self.model.N:
@@ -530,5 +581,5 @@ class PallasRejectionFree:
             sigma, E, coord, self.Jb, self.hcol,
             jnp.asarray([seed], jnp.int32), self.beta2s, tgt,
             n_phys=self.model.N, block_chains=self.block_chains,
-            n_moves=self.chunk_moves, wtm=(self.mode == "wtm"))
+            n_moves=self.chunk_moves, mode=self.mode)
         return sig[:, :self.model.N], E, coord, cs, es

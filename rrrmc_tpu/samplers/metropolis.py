@@ -59,6 +59,13 @@ def standardMC(model: Model, beta: float, iters: int, *, step: int = 1,
     (ops/site_pallas.py, ~200x faster) — each chain is still an exact
     Metropolis chain but the site SCHEDULE is shared across the batch;
     integer Pairwise models only, chains % 128 == 0, no hook/observer.
+
+    CAVEAT (shared schedule): chains are NOT mutually independent under
+    backend="pallas" (acceptance draws are independent, site choices are
+    not), so chain-to-chain spread UNDERSTATES the true Monte Carlo error —
+    do not feed its chains into cross-chain variance estimators
+    (experiments.stats_time SEMs, analysis R-hat style diagnostics). Use
+    backend="xla", or treat the batch as one effective chain for error bars.
     """
     if state is None:
         state = init_state(model, chains, seed, C0)

@@ -72,16 +72,33 @@ def make_rrr_step(model: Model, beta):
 def rrrMC(model: Model, beta: float, iters: int, *, step: int = 1,
           chains: int = 1, seed: int = DEFAULT_SEED, C0=None,
           observer=None, hook=None, hook_every: int = 10,
-          state: Optional[MCState] = None,
+          state: Optional[MCState] = None, backend: str = "auto",
           staged_thr: float = None, staged_thr_fact: float = 5.0):
     """Reduced-rejection-rate MC; same call surface as standardMC.
 
-    Returns (Es [chains, iters // step], final MCState)."""
+    Returns (Es [chains, iters // step], final MCState).
+
+    backend: "pallas" / "auto" route hookless observer-less runs on SINGLE
+    (non-Double) integer LatticeEA / FullyConnected models through the
+    race-select + staged-z' kernel (ops/rejfree_pallas.py mode="rrr":
+    two local-field passes per move, z/z' acceptance in a shifted log
+    domain; ~50-100x the XLA single-move path; `accepted` not updated).
+    Double models (Quant/RE wrappers) keep the XLA path — rt.flatten() +
+    rt.densify() a pairwise-representable wrapper stack to put it on the
+    kernel. "xla" forces the generic path."""
     del staged_thr, staged_thr_fact  # kernel-identical branches; see docstring
     if not math.isfinite(beta):
         raise ValueError(f"beta must be finite, given: {beta}")
     if state is None:
         state = init_state(model, chains, seed, C0)
+    if (hook is None and observer is None and backend != "xla"
+            and model.inner is None and iters <= 10 ** 9):
+        from ..ops.rejfree_pallas import pallas_rejfree_eligible
+        if backend == "pallas" or (jax.default_backend() != "cpu"
+                                   and pallas_rejfree_eligible(model, chains)):
+            from .bkl import _rejfree_mc
+            return _rejfree_mc(model, float(beta), "rrr", iters, step,
+                               chains, seed, state, iters // step)
     state, series = run_with_hook(model, state, float(beta), make_rrr_step,
                                   iters // step, step, observer,
                                   hook, hook_every)

@@ -152,6 +152,30 @@ def bench_rejfree_dense():
             "virtual_iters_chains_per_s": seg * nseg * B / dt}
 
 
+def bench_rrr(dense):
+    """rrr race + staged-z' kernel: moves*chains/s (1 move = 1 iteration)."""
+    B, beta, nseg = 1024, 2.0, 4
+    X = rt.GraphSK(1024, seed=4) if dense else rt.GraphEA(8, 3, (-1, 1),
+                                                          seed=42)
+    seg, step = (100_000, 1_000) if dense else (200_000, 2_000)
+    _, st = rt.rrrMC(X, beta, iters=seg // 4, step=step, chains=B, seed=3,
+                     backend="pallas")
+    sync(st.E)
+    def rep():
+        st2 = st
+        for g in range(nseg):
+            _, st2 = rt.rrrMC(X, beta, seg, step=step, chains=B, seed=5 + g,
+                              state=st2, backend="pallas")
+        sync(st2.E)
+        return st2
+    dt, st2 = timed_best(rep)
+    E_re = _recompute_E(X, st2.sigma)
+    assert int(np.max(np.abs(sync(E_re) - sync(st2.E)))) == 0
+    return {"kernel": f"rrr_{'dense_sk' if dense else 'ea3d'}", "N": X.N,
+            "chains": B, "beta": beta,
+            "moves_chains_per_s": seg * nseg * B / dt}
+
+
 def bench_rejfree(mode):
     L, B, beta, nseg = 8, 1024, 4.0, 4
     X = rt.GraphEA(L, 3, (-1, 1), seed=11)
@@ -192,7 +216,7 @@ def kernels_section(done=(), checkpoint=None):
     names = ["ea3d_checkerboard_sweep", "sk_dense_vmem",
              "sk_dense_hbm_streamed", "rrg_densified_hbm",
              "single_site_metropolis", "rejfree_bkl", "rejfree_wtm",
-             "rejfree_bkl_dense_sk"]
+             "rejfree_bkl_dense_sk", "rrr_ea3d", "rrr_dense_sk"]
     for name, fn in zip(names, (bench_ea3d_sweep,
                lambda: bench_dense("sk_dense_vmem", rt.GraphSK(1024, seed=4)),
                lambda: bench_dense("sk_dense_hbm_streamed",
@@ -204,7 +228,9 @@ def kernels_section(done=(), checkpoint=None):
                bench_site_kernel,
                lambda: bench_rejfree("bkl"),
                lambda: bench_rejfree("wtm"),
-               bench_rejfree_dense)):
+               bench_rejfree_dense,
+               lambda: bench_rrr(False),
+               lambda: bench_rrr(True))):
         if name in have:
             continue
         r = fn()

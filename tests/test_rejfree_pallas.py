@@ -159,3 +159,64 @@ def test_wtm_dense_densified_rrg_warm_start(rejfree_interp):
     E_re = jax.jit(jax.vmap(X.energy))(st2.sigma)
     np.testing.assert_array_equal(np.asarray(E_re), np.asarray(st2.E))
     assert np.all(np.isfinite(np.asarray(Es2)))
+
+
+# ---------------------------------------------------------------------------
+# rrr mode: race-select + staged z/z' acceptance (the namesake sampler on
+# the Pallas path), lattice and dense variants.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("dense", [False, True])
+def test_rrr_pallas_boltzmann(rejfree_interp, dense):
+    """Exact 2^N Boltzmann check: per-iteration checkpoint stream of
+    mode="rrr" must average to the Boltzmann mean (every iteration emits a
+    state, so the stream IS the chain marginal — unlike bkl/wtm no holding
+    times are involved)."""
+    import rrrmc_tpu as rt
+
+    if dense:
+        X = rt.densify(rt.GraphEA(4, 2, (-1, 1), seed=11))   # N = 16
+    else:
+        X = rt.GraphEA(4, 2, (-1, 1), seed=11)
+    beta = 1.0
+    E_exact = _boltzmann_mean(X, beta)
+    Es, st = rt.rrrMC(X, beta, iters=40_000, step=100, chains=128, seed=9,
+                      backend="pallas")
+    E_re = jax.jit(jax.vmap(X.energy))(st.sigma)
+    np.testing.assert_array_equal(np.asarray(E_re), np.asarray(st.E))
+    Es = np.asarray(Es)
+    got = Es[:, Es.shape[1] // 4:].mean()
+    sem = Es[:, Es.shape[1] // 4:].std() / np.sqrt(Es.shape[0] * 3.0)
+    assert abs(got - E_exact) < max(5 * sem, 0.05), (got, E_exact, sem)
+
+
+def test_rrr_pallas_matches_xla_law(rejfree_interp):
+    """Equilibrium energy of the kernel rrr must match the XLA rrr path."""
+    import rrrmc_tpu as rt
+
+    X = rt.GraphSK(48, seed=7)
+    beta = 1.0
+    Es, st = rt.rrrMC(X, beta, iters=30_000, step=300, chains=128, seed=3,
+                      backend="pallas")
+    E_re = jax.jit(jax.vmap(X.energy))(st.sigma)
+    np.testing.assert_array_equal(np.asarray(E_re), np.asarray(st.E))
+    Ex, _ = rt.rrrMC(X, beta, iters=30_000, step=300, chains=64, seed=4,
+                     backend="xla")
+    a = np.asarray(Es)[:, 40:].mean() / X.N
+    b = np.asarray(Ex)[:, 40:].mean() / X.N
+    assert abs(a - b) < 0.03, (a, b)
+
+
+def test_rrr_pallas_double_stays_on_xla(rejfree_interp):
+    """Double models (Quant wrappers) must NOT route to the kernel."""
+    import rrrmc_tpu as rt
+
+    base = rt.GraphEA(4, 2, (-1, 1), seed=2)
+    q = rt.GraphQuant(16, 3, 0.4, 1.0, base)
+    # backend="pallas" on a Double silently uses XLA (inner is not None)
+    Es, st = rt.rrrMC(q, 1.0, iters=200, step=100, chains=4, seed=5,
+                      backend="pallas")
+    E_re = jax.jit(jax.vmap(q.energy))(st.sigma)
+    np.testing.assert_allclose(np.asarray(E_re, np.float64),
+                               np.asarray(st.E, np.float64), atol=1e-9)
