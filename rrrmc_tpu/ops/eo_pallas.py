@@ -1,0 +1,268 @@
+"""Pallas TPU kernel for tau-extremal optimization (extremal_opt).
+
+Reference semantics (/root/reference/src/RRRMC.jl:474-521 + the EOCache rank
+buckets /root/reference/src/DeltaE.jl:424-635): each move ranks all spins by
+dE ascending, draws a rank k with P(k) ~ k^{-tau} (ties broken uniformly),
+flips that spin unconditionally and tracks the best configuration seen.
+
+TPU formulation — every stage is a fused [N, BT] vector pass over the
+chain block (chains on lanes, sites on sublanes), no sort and no gather:
+
+* rank draw: u ~ U[0,1) per chain; k = #(cdf < u) where cdf is the static
+  cumulative k^{-tau} table resident in VMEM (one compare+sum pass);
+* order statistic: the rank-k value v of the integer half-table
+  (half_i = sigma_i * lf_i, dE_i = 2*half_i) via branchless per-lane binary
+  search on the VALUE domain — t_bits passes of count(half <= mid), where
+  t_bits = ceil(log2(value range)) is static (|half| <= max row coupling
+  mass, known host-side). No per-lane row addressing needed, which is what
+  rules out the reference's bucket walk on Mosaic (tpu.dynamic_gather does
+  not lower on v5e);
+* tie break: uniform race over the members of the class {half == v}
+  (iid int32 scores, min-reduce + first-match one-hot — exactly uniform);
+* flip: one-hot masked negate; Emin/sigma_min/itmin update under an
+  E < Emin mask.
+
+Unlike BKL/WTM the chains advance in LOCKSTEP (one move per iteration), so
+there are no divergent coordinates and no checkpoint streams; the move count
+is a dynamic SMEM scalar, one compile serves any `iters`.
+
+Model families (same split as ops/rejfree_pallas.py):
+* integer field-free LatticeEA — lf from the lattice roll identity;
+* integer FullyConnected (|J| <= 127, N <= 4096) — lf from one
+  [NP, NP] x [NP, BT] bf16 MXU matmul per move; padding rows are excluded
+  from the rank count, the class, and the race.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .prng import interpret_params, program_seed, random_bits
+from .sweep_pallas import _build_dir_tables
+
+_INTERPRET = interpret_params()
+
+_I32_MAX = np.int32(2 ** 31 - 1)
+
+
+def _eo_kernel(seed_ref, n_ref, cdf_ref, jp_ref, jm_ref,
+               sigma_ref, E_ref, emin_ref, smin_ref, itmin_ref,
+               sigma_out, E_out, emin_out, smin_out, itmin_out,
+               *, L, D, BT, t_bits, dense, n_phys):
+    """EO chunk: n_ref[0] (dynamic) moves on a [NP, BT] chain block.
+
+    dense=False: jp_ref/jm_ref are the [N, D] lattice direction tables.
+    dense=True: jp_ref is Jb [NP, NP] bf16, jm_ref is h [NP, 1] int32;
+    n_phys < NP rows are frozen padding."""
+    seed_p = program_seed(seed_ref[0], pl.program_id(0))
+    pltpu.prng_seed(seed_p)
+    salt0 = seed_p * jnp.int32(1000003)
+    n_moves = n_ref[0]
+
+    if dense:
+        NP = smin_ref.shape[0]
+        N = n_phys
+
+        def lf_fn(sig):
+            lf = jax.lax.dot_general(
+                jp_ref[:], sig.astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.int32)
+            return lf + jm_ref[:]
+    else:
+        N = L ** D
+        NP = N
+        idx = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
+        strides = [L ** (D - 1 - d) for d in range(D)]
+        coords_ = [(idx // s) % L for s in strides]
+        wrap_hi = [c == (L - 1) for c in coords_]
+        wrap_lo = [c == 0 for c in coords_]
+
+        def roll_up(x, k):
+            return pltpu.roll(x, N - k, axis=0)
+
+        def lf_fn(sig):
+            lf = jnp.zeros((N, BT), jnp.int32)
+            for d, s in enumerate(strides):
+                nb_p = jnp.where(wrap_hi[d],
+                                 roll_up(sig, N - s * (L - 1)),
+                                 roll_up(sig, s))
+                nb_m = jnp.where(wrap_lo[d],
+                                 roll_up(sig, s * (L - 1)),
+                                 roll_up(sig, N - s))
+                lf = lf + jp_ref[:, d][:, None] * nb_p \
+                        + jm_ref[:, d][:, None] * nb_m
+            return lf
+
+    iota_nb = jax.lax.broadcasted_iota(jnp.int32, (NP, BT), 0)
+    valid = iota_nb < N
+    imax = jnp.int32(_I32_MAX)
+    inv32 = jnp.float32(2.0 ** -32)
+    half_f = jnp.float32(0.5)
+
+    def move(m, carry):
+        sig, E, emin, smin, itmin = carry
+        half = sig * lf_fn(sig)                       # dE_int = 2*half
+        # rank draw: k = #(cdf < u) (padding cdf rows are 2.0, never < u)
+        ub = random_bits((1, BT), salt0 + 2 * m)
+        u = ub.astype(jnp.float32) * inv32 + half_f
+        rank = jnp.sum((cdf_ref[:] < u).astype(jnp.int32), axis=0,
+                       keepdims=True)                 # [1, BT] in [0, N-1]
+        # rank-k order statistic by branchless binary search on the value
+        # domain: smallest v with count(half <= v) >= rank + 1
+        hvalid = jnp.where(valid, half, imax)
+        lo = jnp.min(hvalid, axis=0, keepdims=True) - 1
+        hi = jnp.max(jnp.where(valid, half, -imax), axis=0, keepdims=True)
+
+        def bstep(_, lh):
+            lo, hi = lh
+            mid = (lo + hi) >> 1                      # arithmetic shift: floor
+            cnt = jnp.sum((hvalid <= mid).astype(jnp.int32),
+                          axis=0, keepdims=True)
+            ok = cnt >= rank + 1
+            return jnp.where(ok, lo, mid + 1), jnp.where(ok, mid, hi)
+
+        lo, hi = jax.lax.fori_loop(0, t_bits, bstep, (lo, hi))
+        v = hi                                        # [1, BT] class value
+        members = valid & (half == v)
+        # uniform tie break: iid int32 race over the class members
+        r = random_bits((NP, BT), salt0 + 2 * m + 1)
+        score = jnp.where(members, jnp.minimum(r, imax - 1), imax)
+        srow = jnp.min(score, axis=0, keepdims=True)
+        sel = score == srow
+        iwin = jnp.min(jnp.where(sel, iota_nb, NP), axis=0, keepdims=True)
+        onehot = iota_nb == iwin
+        dE_i = jnp.sum(jnp.where(onehot, 2 * half, 0), axis=0,
+                       keepdims=True, dtype=jnp.int32)
+        sig = jnp.where(onehot, -sig, sig)            # unconditional flip
+        E = E + dE_i
+        better = E < emin                             # [1, BT]
+        emin = jnp.where(better, E, emin)
+        smin = jnp.where(better, sig, smin)
+        itmin = jnp.where(better, m + 1, itmin)
+        return sig, E, emin, smin, itmin
+
+    sig0 = sigma_ref[:].astype(jnp.int32)
+    sig, E, emin, smin, itmin = jax.lax.fori_loop(
+        0, n_moves, move,
+        (sig0, E_ref[:], emin_ref[:], smin_ref[:].astype(jnp.int32),
+         itmin_ref[:]))
+    sigma_out[:] = sig.astype(jnp.int8)
+    E_out[:] = E
+    emin_out[:] = emin
+    smin_out[:] = smin.astype(jnp.int8)
+    itmin_out[:] = itmin
+
+
+@partial(jax.jit, static_argnames=("L", "D", "block_chains", "t_bits",
+                                   "dense", "n_phys"))
+def _pallas_eo_run(sigma, E, emin, smin, itmin, cdf, A, Bt, seed, n_moves, *,
+                   L, D, block_chains, t_bits, dense, n_phys):
+    """sigma/smin [B, NP] int8, E/emin/itmin [B] int32 -> same, after
+    n_moves (dynamic scalar) EO moves. A/Bt: (Jp, Jm) lattice tables or
+    (Jb bf16 [NP, NP], h [NP, 1]) dense tables."""
+    sigmaT, sminT = sigma.T, smin.T
+    NP, B = sigmaT.shape
+    BT = block_chains
+    grid = (B // BT,)
+    kernel = partial(_eo_kernel, L=L, D=D, BT=BT, t_bits=t_bits,
+                     dense=dense, n_phys=n_phys)
+    row = pl.BlockSpec((1, BT), lambda j: (0, j), memory_space=pltpu.VMEM)
+    blk = pl.BlockSpec((NP, BT), lambda j: (0, j), memory_space=pltpu.VMEM)
+    whole = pl.BlockSpec(memory_space=pltpu.VMEM)
+    sig_out, E_out, emin_out, smin_out, itmin_out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # seed
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # n_moves
+            pl.BlockSpec((NP, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),      # cdf
+            whole, whole,                               # tables
+            blk, row, row, blk, row,
+        ],
+        out_specs=[blk, row, row, blk, row],
+        out_shape=[
+            jax.ShapeDtypeStruct((NP, B), jnp.int8),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+            jax.ShapeDtypeStruct((NP, B), jnp.int8),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=_INTERPRET,
+    )(seed, n_moves, cdf, A, Bt, sigmaT, E[None, :], emin[None, :], sminT,
+      itmin[None, :])
+    return (sig_out.T, E_out[0], emin_out[0], smin_out.T, itmin_out[0])
+
+
+class PallasEO:
+    """Reusable EO runner for an integer field-free LatticeEA or integer
+    FullyConnected (|J| <= 127, N <= 4096) model; eligibility is
+    ops.rejfree_pallas.pallas_rejfree_eligible (the table requirements are
+    identical). One compile serves any `iters` (dynamic SMEM trip count)."""
+
+    def __init__(self, model, tau: float, *, block_chains: int = 128):
+        from ..models.dense import FullyConnected
+        from ..models.lattice import LatticeEA
+        from ..samplers.eo import _rank_cdf
+
+        assert model.N >= 8, "sublane tiling needs N >= 8"
+        self.model = model
+        self.block_chains = block_chains
+        if isinstance(model, LatticeEA):
+            assert jnp.issubdtype(model.Jd.dtype, jnp.integer)
+            assert int(jnp.max(jnp.abs(model.h))) == 0, "fields unsupported"
+            Jp, Jm = _build_dir_tables(model)
+            self.A, self.B = jnp.asarray(Jp), jnp.asarray(Jm)
+            self.L, self.D = model.L, model.D
+            self.dense = False
+            self.NP = model.N
+            max_half = int(np.abs(Jp).sum(axis=1).max()
+                           + np.abs(Jm).sum(axis=1).max())
+        else:
+            assert isinstance(model, FullyConnected), type(model)
+            NP = -(-model.N // 128) * 128
+            J = np.zeros((NP, NP), np.float32)
+            J[:model.N, :model.N] = np.asarray(model.J)
+            h = np.zeros((NP, 1), np.int32)
+            h[:model.N, 0] = np.asarray(model.h)
+            self.A = jnp.asarray(J, jnp.bfloat16)
+            self.B = jnp.asarray(h)
+            self.L = self.D = 0
+            self.dense = True
+            self.NP = NP
+            max_half = int(np.abs(np.asarray(model.J)).sum(axis=1).max()
+                           + np.abs(h).max())
+        # binary-search trip count: |half| <= max_half, searched range
+        # (lo, hi] starts at width 2*max_half + 1
+        self.t_bits = max(1, int(np.ceil(np.log2(2 * max_half + 2))))
+        cdf = np.full((self.NP, 1), 2.0, np.float32)   # pad rows: never < u
+        cdf[:model.N, 0] = _rank_cdf(model.N, float(tau))
+        self.cdf = jnp.asarray(cdf)
+
+    def run(self, sigma, E, iters: int, seed: int):
+        """sigma [B, N] int8, E [B] int32 (integer-domain energies) ->
+        (sigma', E', Emin, sigma_min, itmin), all integer-domain."""
+        B, n = sigma.shape
+        pad = self.NP - n
+        if pad:
+            padc = jnp.ones((B, pad), jnp.int8)
+            sigma = jnp.concatenate([sigma, padc], axis=1)
+        smin = sigma
+        zeros = jnp.zeros((B,), jnp.int32)
+        sig, E, emin, smin, itmin = _pallas_eo_run(
+            sigma, E.astype(jnp.int32), E.astype(jnp.int32), smin, zeros,
+            self.cdf, self.A, self.B,
+            jnp.asarray([seed % (2 ** 31)], jnp.int32),
+            jnp.asarray([iters], jnp.int32),
+            L=self.L, D=self.D, block_chains=self.block_chains,
+            t_bits=self.t_bits, dense=self.dense, n_phys=self.model.N)
+        return (sig[:, :n], E, emin, smin[:, :n], itmin)

@@ -57,12 +57,22 @@ def _bkl_chunk_body(model, beta, iters, step, chunk_moves, state: MCState,
     obs_fn = (jax.vmap(partial(observer, model)) if observer is not None
               else lambda s, a, E: jax.vmap(model.to_physical)(E))
 
-    def body(carry, _):
+    def do_move(carry):
         s, it = carry
         sigma, aux, E, key, accepted, it = batched(
             s.sigma, s.aux, s.E, s.key, s.accepted, it)
-        s = MCState(sigma=sigma, aux=aux, E=E, key=key, accepted=accepted)
-        return (s, it), (it, obs_fn(sigma, aux, E))
+        return MCState(sigma=sigma, aux=aux, E=E, key=key,
+                       accepted=accepted), it
+
+    def body(carry, _):
+        # straggler tail: once EVERY chain reached `iters`, the remaining
+        # scan steps of this chunk skip the O(N) move entirely (the emitted
+        # stream rows repeat the last coordinate — idempotent for the
+        # checkpoint fill). Under a disorder vmap the predicate is batched
+        # and cond degrades to running the move as before — no regression.
+        done = jnp.min(carry[1]) >= iters
+        s, it = jax.lax.cond(done, lambda c: c, do_move, carry)
+        return (s, it), (it, obs_fn(s.sigma, s.aux, s.E))
 
     it_start = it
     o_start = obs_fn(state.sigma, state.aux, state.E)

@@ -16,6 +16,7 @@ vectorized over the whole batch, no mutable buckets.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional
 
 import numpy as np
@@ -80,31 +81,73 @@ def make_eo_move(model: Model, tau: float, cdf):
     return move1
 
 
+@partial(jax.jit, static_argnames=("iters",))
+def _eo_run_xla(model, cdf, state: MCState, iters: int):
+    move1 = make_eo_move(model, 0.0, cdf)  # tau is baked into cdf
+    batched = jax.vmap(lambda *c: move1(c))
+
+    def body(carry, _):
+        return batched(*carry), None
+
+    it0 = jnp.zeros(state.E.shape[0], jnp.int32)
+    carry = (state.sigma, state.aux, state.E, state.key,
+             state.E, state.sigma, it0, it0)
+    carry, _ = jax.lax.scan(body, carry, None, length=iters)
+    sigma, aux, E, key, Emin, smin, itmin, it = carry
+    return sigma, E, Emin, smin, itmin
+
+
+@jax.jit
+def _to_phys_batch(model, E):
+    """Module-level jit (a per-call jax.jit(vmap(...)) recompiles every
+    call; see samplers/common.py:92)."""
+    return jax.vmap(model.to_physical)(E)
+
+
+#: cached PallasEO runners keyed on (coupling identity, tau)
+_EO_CACHE: dict = {}
+
+
+def _eo_pallas(model, tau: float, iters: int, chains: int, seed: int,
+               state: MCState, block_chains: int = 128) -> EOResult:
+    from ..ops.eo_pallas import PallasEO
+    from .common import bound_cache_put
+
+    assert chains % block_chains == 0, (chains, block_chains)
+    Jid = model.Jd if hasattr(model, "Jd") else model.J
+    key = (id(Jid), float(tau), block_chains)
+    ent = _EO_CACHE.get(key)
+    if ent is None or ent[0] is not Jid:
+        ent = (Jid, PallasEO(model, float(tau), block_chains=block_chains))
+        bound_cache_put(_EO_CACHE, key, ent)
+    sigma, E, emin, smin, itmin = ent[1].run(
+        state.sigma, state.E.astype(jnp.int32), iters, seed)
+    return EOResult(sigma=sigma, E=_to_phys_batch(model, E.astype(ftype())),
+                    Emin=_to_phys_batch(model, emin.astype(ftype())),
+                    sigma_min=smin, itmin=itmin)
+
+
 def extremal_opt(model: Model, tau: float, iters: int, *, step: int = 1,
                  chains: int = 1, seed: int = DEFAULT_SEED, C0=None,
-                 state: Optional[MCState] = None) -> EOResult:
+                 state: Optional[MCState] = None,
+                 backend: str = "auto") -> EOResult:
     """Ground-state search; returns an EOResult (the analog of the
-    reference's (C, Emin, Cmin, itmin) tuple)."""
+    reference's (C, Emin, Cmin, itmin) tuple).
+
+    backend: "pallas" / "auto" route integer LatticeEA / FullyConnected
+    models (chains % 128 == 0) through the rank-select kernel
+    (ops/eo_pallas.py: per-lane binary-search order statistic + uniform
+    tie race, ~2 orders of magnitude over the XLA single-move path);
+    "xla" forces the generic path."""
     if state is None:
         state = init_state(model, chains, seed, C0)
+    if backend != "xla":
+        from ..ops.rejfree_pallas import pallas_rejfree_eligible
+        if backend == "pallas" or (jax.default_backend() != "cpu"
+                                   and pallas_rejfree_eligible(model, chains)):
+            return _eo_pallas(model, float(tau), iters, chains, seed, state)
     cdf = jnp.asarray(_rank_cdf(model.N, float(tau)))
-
-    @jax.jit
-    def run(state: MCState):
-        move1 = make_eo_move(model, float(tau), cdf)
-        batched = jax.vmap(lambda *c: move1(c))
-
-        def body(carry, _):
-            return batched(*carry), None
-
-        it0 = jnp.zeros(state.E.shape[0], jnp.int32)
-        carry = (state.sigma, state.aux, state.E, state.key,
-                 state.E, state.sigma, it0, it0)
-        carry, _ = jax.lax.scan(body, carry, None, length=iters)
-        sigma, aux, E, key, Emin, smin, itmin, it = carry
-        return sigma, E, Emin, smin, itmin
-
-    sigma, E, Emin, smin, itmin = run(state)
-    to_phys = jax.jit(jax.vmap(model.to_physical))
-    return EOResult(sigma=sigma, E=to_phys(E), Emin=to_phys(Emin),
+    sigma, E, Emin, smin, itmin = _eo_run_xla(model, cdf, state, iters)
+    return EOResult(sigma=sigma, E=_to_phys_batch(model, E),
+                    Emin=_to_phys_batch(model, Emin),
                     sigma_min=smin, itmin=itmin)

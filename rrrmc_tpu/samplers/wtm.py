@@ -92,12 +92,18 @@ def _wtm_chunk_body(model, beta, tmax, step_t, chunk_moves, state: MCState,
     obs_fn = (jax.vmap(partial(observer, model)) if observer is not None
               else lambda s, a, E: jax.vmap(model.to_physical)(E))
 
-    def body(carry, _):
+    def do_move(carry):
         s, t, times = carry
         sigma, aux, E, key, accepted, t, times = batched(
             s.sigma, s.aux, s.E, s.key, s.accepted, t, times)
-        s = MCState(sigma=sigma, aux=aux, E=E, key=key, accepted=accepted)
-        return (s, t, times), (t, obs_fn(sigma, aux, E))
+        return (MCState(sigma=sigma, aux=aux, E=E, key=key,
+                        accepted=accepted), t, times)
+
+    def body(carry, _):
+        # straggler tail skip — see samplers/bkl.py chunk body
+        s, t, times = jax.lax.cond(jnp.min(carry[1]) >= tmax,
+                                   lambda c: c, do_move, carry)
+        return (s, t, times), (t, obs_fn(s.sigma, s.aux, s.E))
 
     t_start = t
     o_start = obs_fn(state.sigma, state.aux, state.E)

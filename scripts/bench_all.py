@@ -210,13 +210,38 @@ def bench_rejfree(mode):
             unit: iters * B / dt}
 
 
+def bench_eo(dense):
+    """EO rank-select kernel: moves*chains/s (1 move = 1 iteration; chains
+    advance in lockstep so a fresh run per rep is representative)."""
+    B, tau = 1024, 1.4
+    X = rt.GraphSK(1024, seed=4) if dense else rt.GraphEA(8, 3, (-1, 1),
+                                                          seed=42)
+    iters = 100_000 if dense else 400_000
+    r0 = rt.extremal_opt(X, tau, iters=1_000, chains=B, seed=3,
+                         backend="pallas")
+    sync(r0.E)
+    def rep():
+        r = rt.extremal_opt(X, tau, iters=iters, chains=B, seed=5,
+                            backend="pallas")
+        sync(r.E)
+        return r
+    dt, r = timed_best(rep)
+    E_re = sync(_recompute_E(X, r.sigma)).astype(np.float64) * X.scale
+    assert np.allclose(E_re, sync(r.E), rtol=1e-6)
+    return {"kernel": f"eo_{'dense_sk' if dense else 'ea3d'}", "N": X.N,
+            "chains": B, "tau": tau,
+            "moves_chains_per_s": iters * B / dt,
+            "best_E_per_spin": float(np.min(sync(r.Emin)) / X.N)}
+
+
 def kernels_section(done=(), checkpoint=None):
     out = [r for r in done]
     have = {r["kernel"] for r in out}
     names = ["ea3d_checkerboard_sweep", "sk_dense_vmem",
              "sk_dense_hbm_streamed", "rrg_densified_hbm",
              "single_site_metropolis", "rejfree_bkl", "rejfree_wtm",
-             "rejfree_bkl_dense_sk", "rrr_ea3d", "rrr_dense_sk"]
+             "rejfree_bkl_dense_sk", "rrr_ea3d", "rrr_dense_sk",
+             "eo_ea3d", "eo_dense_sk"]
     for name, fn in zip(names, (bench_ea3d_sweep,
                lambda: bench_dense("sk_dense_vmem", rt.GraphSK(1024, seed=4)),
                lambda: bench_dense("sk_dense_hbm_streamed",
@@ -230,7 +255,9 @@ def kernels_section(done=(), checkpoint=None):
                lambda: bench_rejfree("wtm"),
                bench_rejfree_dense,
                lambda: bench_rrr(False),
-               lambda: bench_rrr(True))):
+               lambda: bench_rrr(True),
+               lambda: bench_eo(False),
+               lambda: bench_eo(True))):
         if name in have:
             continue
         r = fn()

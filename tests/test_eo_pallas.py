@@ -1,0 +1,108 @@
+"""EO (extremal optimization) Pallas kernel validation in interpreter mode.
+
+The rank law is the load-bearing test: with a large tau the k^{-tau} rank
+distribution concentrates on rank 0, so the kernel must flip a minimal-dE
+site essentially every move — this exercises the inverse-CDF rank draw, the
+binary-search order statistic, AND the in-class uniform race at once.
+"""
+
+import importlib
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def eo_interp():
+    os.environ["RRRMC_PALLAS_INTERPRET"] = "1"
+    import rrrmc_tpu.ops.eo_pallas as ep
+    importlib.reload(ep)
+    yield ep
+    os.environ.pop("RRRMC_PALLAS_INTERPRET")
+    importlib.reload(ep)
+
+
+def _recompute(model, sigma):
+    return np.asarray(jax.jit(jax.vmap(
+        lambda s: model.to_physical(model.energy(s))))(sigma))
+
+
+def test_eo_pallas_invariant_lattice(eo_interp):
+    """Exact energy tracking: E and Emin match recomputation from configs."""
+    import rrrmc_tpu as rt
+
+    X = rt.GraphEA(4, 3, (-1, 1), seed=5)    # N = 64
+    res = rt.extremal_opt(X, 1.4, iters=500, chains=128, seed=3,
+                          backend="pallas")
+    np.testing.assert_allclose(np.asarray(res.E), _recompute(X, res.sigma),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(res.Emin),
+                               _recompute(X, res.sigma_min), rtol=1e-6)
+    assert np.all(np.asarray(res.Emin) <= np.asarray(res.E) + 1e-6)
+    itmin = np.asarray(res.itmin)
+    assert np.all((itmin >= 0) & (itmin <= 500))
+
+
+def test_eo_pallas_ferro_ground_state(eo_interp):
+    """All-(+1) couplings: EO must reach the known ground state -D*N."""
+    import rrrmc_tpu as rt
+
+    X = rt.GraphEA(4, 2, (1, 1), seed=1)     # ferromagnet, N = 16, E0 = -32
+    res = rt.extremal_opt(X, 1.5, iters=400, chains=128, seed=7,
+                          backend="pallas")
+    assert float(np.min(np.asarray(res.Emin))) == -2.0 * X.N
+
+
+def test_eo_pallas_rank_law(eo_interp):
+    """tau = 8: rank 0 has probability ~0.996, so a single move from a fixed
+    config must flip a site of minimal dE in (almost) every chain."""
+    import rrrmc_tpu as rt
+
+    X = rt.GraphEA(4, 2, (-1, 1), seed=11)   # N = 16
+    rng = np.random.RandomState(0)
+    C0 = rng.choice(np.array([-1, 1], np.int8), size=X.N)
+    res = rt.extremal_opt(X, 8.0, iters=1, chains=128, seed=13, C0=C0,
+                          backend="pallas")
+    sig = np.asarray(res.sigma)
+    flips = sig != C0[None, :]
+    assert np.all(flips.sum(axis=1) == 1), "exactly one flip per chain"
+    C0j = jnp.asarray(C0)
+    dE = np.asarray(X.delta_all(C0j, X.init_aux(C0j)))
+    picked = dE[np.argmax(flips, axis=1)]
+    n_min = int((picked == dE.min()).sum())
+    assert n_min >= 120, (n_min, picked[:16], dE.min())
+
+
+def test_eo_pallas_matches_xla_law(eo_interp):
+    """Mean best-energy after a fixed budget agrees with the XLA EO path."""
+    import rrrmc_tpu as rt
+
+    X = rt.GraphEA(4, 2, (-1, 1), seed=21)   # N = 16
+    rp = rt.extremal_opt(X, 1.3, iters=800, chains=128, seed=5,
+                         backend="pallas")
+    rx = rt.extremal_opt(X, 1.3, iters=800, chains=128, seed=6,
+                         backend="xla")
+    a = np.asarray(rp.Emin).mean() / X.N
+    b = np.asarray(rx.Emin).mean() / X.N
+    assert abs(a - b) < 0.03, (a, b)
+
+
+def test_eo_pallas_dense_sk(eo_interp):
+    """Dense variant (GraphSK, N=64 padded to 128): invariant + XLA law."""
+    import rrrmc_tpu as rt
+
+    X = rt.GraphSK(64, seed=3)
+    res = rt.extremal_opt(X, 1.3, iters=600, chains=128, seed=9,
+                          backend="pallas")
+    np.testing.assert_allclose(np.asarray(res.E), _recompute(X, res.sigma),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(res.Emin),
+                               _recompute(X, res.sigma_min), rtol=1e-6)
+    rx = rt.extremal_opt(X, 1.3, iters=600, chains=64, seed=10,
+                         backend="xla")
+    a = np.asarray(res.Emin).mean() / X.N
+    b = np.asarray(rx.Emin).mean() / X.N
+    assert abs(a - b) < 0.04, (a, b)
