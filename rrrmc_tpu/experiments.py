@@ -51,8 +51,10 @@ def runtest(sampler: Callable, model, beta: float, iters: int, *,
             np.asarray(state.E)
             t_warm = min(t_warm, time.time() - t0)
     Es = np.asarray(Es)
-    return {
+    from .samplers.common import LAST_ROUTE
+    out = {
         "sampler": getattr(sampler, "__name__", str(sampler)),
+        "backend": LAST_ROUTE.get("backend", "unknown"),
         "wall_cold_s": t_cold,
         "wall_warm_s": t_warm,
         "iters_per_s": iters / t_warm,
@@ -61,6 +63,11 @@ def runtest(sampler: Callable, model, beta: float, iters: int, *,
         "E_mean_final": float(Es[:, -1].mean()),
         "E_per_spin": float(Es[:, -1].mean() / model.N),
     }
+    if LAST_ROUTE.get("z_over_n") is not None:
+        acc = np.asarray(LAST_ROUTE["acc"], np.float64)
+        zn = np.asarray(LAST_ROUTE["z_over_n"], np.float64)
+        out["mean_z_over_n"] = float((zn / np.maximum(acc, 1)).mean())
+    return out
 
 
 def runtest_wtm(model, beta: float, samples: int, *, chains: int = 64,

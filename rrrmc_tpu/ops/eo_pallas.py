@@ -203,11 +203,36 @@ def _pallas_eo_run(sigma, E, emin, smin, itmin, cdf, A, Bt, seed, n_moves, *,
     return (sig_out.T, E_out[0], emin_out[0], smin_out.T, itmin_out[0])
 
 
+#: dense EO J budget (bf16 [NP, NP] VMEM-resident)
+_EO_DENSE_NP_MAX = 4096
+
+
+def pallas_eo_eligible(model, chains: int) -> bool:
+    """EO kernel eligibility: narrower than the rejection-free kernels
+    (no HBM-streamed or float variant yet — the binary-search order
+    statistic needs the full half table resident)."""
+    from ..models.dense import FullyConnected
+    from ..models.lattice import LatticeEA
+    from .rejfree_pallas import _dense_rejfree_ok
+
+    if chains % 128 != 0:
+        return False
+    if isinstance(model, LatticeEA):
+        return (jnp.issubdtype(model.Jd.dtype, jnp.integer)
+                and model.N >= 8
+                and int(jnp.max(jnp.abs(model.h))) == 0)
+    if isinstance(model, FullyConnected):
+        return (jnp.issubdtype(model.J.dtype, jnp.integer)
+                and model.N <= _EO_DENSE_NP_MAX
+                and _dense_rejfree_ok(model))
+    return False
+
+
 class PallasEO:
     """Reusable EO runner for an integer field-free LatticeEA or integer
     FullyConnected (|J| <= 127, N <= 4096) model; eligibility is
-    ops.rejfree_pallas.pallas_rejfree_eligible (the table requirements are
-    identical). One compile serves any `iters` (dynamic SMEM trip count)."""
+    `pallas_eo_eligible`. One compile serves any `iters` (dynamic SMEM trip
+    count)."""
 
     def __init__(self, model, tau: float, *, block_chains: int = 128):
         from ..models.dense import FullyConnected

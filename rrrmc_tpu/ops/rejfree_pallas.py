@@ -50,18 +50,34 @@ fills the checkpoint grid with samplers.bkl._fill_checkpoints — the batch
 generalization of the reference's drain loops
 (/root/reference/src/RRRMC.jl:339-344,402-407).
 
-Two model families share the race machinery and differ only in how the
+Three kernel variants share the race machinery and differ only in how the
 local-field table is produced each move:
 
-* integer-coupling, field-free LatticeEA — lf from the lattice roll identity
-  (as the sweep kernel);
+* integer-coupling LatticeEA (fields supported as a [N, 1] int32 column) —
+  lf from the lattice roll identity (as the sweep kernel);
 * integer FullyConnected (GraphSK, densify()'d sparse graphs, |J| <= 127,
   N <= 4096) — lf from one [NP, NP] x [NP, BT] bf16 MXU matmul per move
   (exact in f32 accumulation; integer fields supported). N is padded to a
-  lane multiple with frozen spins masked out of the race and out of z.
+  lane multiple with frozen spins masked out of the race and out of z;
+* HBM-streamed FullyConnected (integer N <= 32768, e.g. densified GraphRRG
+  N=1e4 — the reference's flagship workload,
+  /root/reference/scripts/scripts.jl:34-37 — or float-coupling models like
+  GraphSKNormal, the DeltaECacheCont regime
+  /root/reference/src/DeltaE.jl:299-410): J stays in HBM and each move
+  streams [W, NP] row blocks through a double-buffered VMEM window (the
+  ops/sk_pallas.py stream_j pattern); the race min/argmin/z reduce
+  STREAMINGLY per block, so no full [NP, NP] J and no [NP, BT] lf tensor is
+  ever resident.
 
-Exact int32 energies; the sampling law is exact up to f32 rounding of the
-race scores (same order as the f32 exp() in every Metropolis kernel here).
+Every kernel also emits per-chunk accepted-move counts and summed z/N (an
+[1, BT] int32 / f32 row each) so MCState.accepted and acceptance diagnostics
+stay correct on kernel routes.
+
+Integer models keep exact int32 energies; float models carry f32 energies
+(each move's dE comes from a freshly recomputed lf, so there is no lf drift
+— only f32 summation error in E itself). The sampling law is exact up to
+f32 rounding of the race scores (same order as the f32 exp() in every
+Metropolis kernel here).
 """
 
 from __future__ import annotations
@@ -84,17 +100,28 @@ _INTERPRET = interpret_params()
 _SKIP_CAP = 1.0e9
 
 
-def _rejfree_kernel(seed_ref, beta2s_ref, target_ref, jp_ref, jm_ref,
-                    sigma_ref, E_ref, coord_ref,
-                    sigma_out, E_out, coord_out, cs_out, es_out,
-                    *, L, D, BT, n_moves, mode):
+def _geom_skip(u2, p):
+    """Geometric rejected-iteration count with success prob p (rand_skip,
+    /root/reference/src/DeltaE.jl:141-144), capped so int32 never
+    overflows. p = 0 (z underflow at extreme beta) yields the cap."""
+    denom = jnp.log1p(-jnp.minimum(p, jnp.float32(1 - 1e-6)))
+    sk = jnp.floor(jnp.log(jnp.maximum(1 - u2, jnp.float32(1e-38))) / denom)
+    skip = jnp.minimum(sk, jnp.float32(_SKIP_CAP)).astype(jnp.int32)
+    return jnp.where(p >= 1.0, 0, skip)
+
+
+def _rejfree_kernel(seed_ref, beta2s_ref, target_ref, jp_ref, jm_ref, h_ref,
+                    sigma_ref, E_ref, coord_ref, acc_ref, zacc_ref,
+                    sigma_out, E_out, coord_out, acc_out, zacc_out,
+                    cs_out, es_out, *, L, D, BT, n_moves, mode):
     """One chunk of `n_moves` race-selected moves for a [N, BT] chain block.
 
     mode: "bkl" / "wtm" / "rrr". coord_ref/coord_out/cs_out: f32 global time
     (wtm) or int32 iterations (bkl: virtual rejected-inclusive; rrr: one per
     move). Chains whose coordinate reached target_ref[0] keep racing but
     apply nothing (masked no-ops; the stream rows they emit are idempotent
-    for the checkpoint fill)."""
+    for the checkpoint fill). acc: applied-flip counts; zacc: summed z/N
+    over active moves (acceptance diagnostics, runtest accept_rate)."""
     wtm = mode == "wtm"
     N = L ** D
     seed_p = program_seed(seed_ref[0], pl.program_id(0))
@@ -114,7 +141,7 @@ def _rejfree_kernel(seed_ref, beta2s_ref, target_ref, jp_ref, jm_ref,
         return pltpu.roll(x, N - k, axis=0)
 
     def local_fields(sig):
-        lf = jnp.zeros((N, BT), jnp.int32)
+        lf = jnp.zeros((N, BT), jnp.int32) + h_ref[:]
         for d, s in enumerate(strides):
             nb_p = jnp.where(wrap_hi[d],
                              roll_up(sig, N - s * (L - 1)),
@@ -135,7 +162,7 @@ def _rejfree_kernel(seed_ref, beta2s_ref, target_ref, jp_ref, jm_ref,
         return rb.astype(jnp.float32) * inv32 + half_f
 
     def move(m, carry):
-        sig, E, coord = carry
+        sig, E, coord, acc, zacc = carry
         active = coord < target                       # [1, BT]
         half = sig * local_fields(sig)                # dE_int = 2*half
         bE = beta2s * jnp.maximum(half, 0).astype(jnp.float32)
@@ -147,6 +174,9 @@ def _rejfree_kernel(seed_ref, beta2s_ref, target_ref, jp_ref, jm_ref,
         onehot = iota_nb == imin                      # exact single winner
         dE_i = jnp.sum(jnp.where(onehot, 2 * half, 0), axis=0,
                        keepdims=True, dtype=jnp.int32)
+        z = jnp.sum(jnp.exp(-bE), axis=0, keepdims=True)        # [1, BT]
+        zacc = zacc + jnp.where(active, z * jnp.float32(1.0 / N),
+                                jnp.float32(0.0))
         if mode == "rrr":
             # staged z': second lf pass on the hypothetically flipped state;
             # z/z' compared in a shifted-exponential/log domain so the
@@ -164,40 +194,41 @@ def _rejfree_kernel(seed_ref, beta2s_ref, target_ref, jp_ref, jm_ref,
             sig = jnp.where(onehot & do, -sig, sig)
             E = E + jnp.where(do, dE_i, 0)
             coord = coord + jnp.where(active, 1, 0)
+            acc = acc + do.astype(jnp.int32)
         else:
             sig = jnp.where(onehot & active, -sig, sig)
             E = E + jnp.where(active, dE_i, 0)
+            acc = acc + active.astype(jnp.int32)
         if wtm:
             coord = coord + jnp.where(active, jnp.exp(mrow),
                                       jnp.float32(0.0))
         elif mode == "bkl":
-            z = jnp.sum(jnp.exp(-bE), axis=0, keepdims=True)   # [1, BT]
             u2 = to_uniform(random_bits((1, BT), salt0 + 3 * m + 1))
-            p = z * jnp.float32(1.0 / N)
-            denom = jnp.log1p(-jnp.minimum(p, jnp.float32(1 - 1e-6)))
-            sk = jnp.floor(jnp.log(jnp.maximum(1 - u2, jnp.float32(1e-38)))
-                           / denom)
-            skip = jnp.minimum(sk, jnp.float32(_SKIP_CAP)).astype(jnp.int32)
-            skip = jnp.where(p >= 1.0, 0, skip)
+            skip = _geom_skip(u2, z * jnp.float32(1.0 / N))
             coord = coord + jnp.where(active, skip + 1, 0)
         cs_out[pl.ds(m, 1), :] = coord
         es_out[pl.ds(m, 1), :] = E
-        return sig, E, coord
+        return sig, E, coord, acc, zacc
 
     sig0 = sigma_ref[:].astype(jnp.int32)
-    sig, E, coord = jax.lax.fori_loop(
-        0, n_moves, move, (sig0, E_ref[:], coord_ref[:]))
+    sig, E, coord, acc, zacc = jax.lax.fori_loop(
+        0, n_moves, move,
+        (sig0, E_ref[:], coord_ref[:], acc_ref[:], zacc_ref[:]))
     sigma_out[:] = sig.astype(jnp.int8)
     E_out[:] = E
     coord_out[:] = coord
+    acc_out[:] = acc
+    zacc_out[:] = zacc
 
 
 @partial(jax.jit, static_argnames=("L", "D", "block_chains", "n_moves",
                                    "mode"))
-def _pallas_rejfree_chunk(sigma, E, coord, Jp, Jm, seed, beta2s, target, *,
-                          L, D, block_chains, n_moves, mode):
+def _pallas_rejfree_chunk(sigma, E, coord, acc, zacc, Jp, Jm, hcol, seed,
+                          beta2s, target, *, L, D, block_chains, n_moves,
+                          mode):
     """sigma [B, N] int8, E [B] int32, coord [B] (f32 wtm / i32 bkl) ->
-    (sigma', E', coord', coord_stream [n_moves, B], E_stream [n_moves, B])."""
+    (sigma', E', coord', acc', zacc', coord_stream [n_moves, B],
+    E_stream [n_moves, B])."""
     sigmaT = sigma.T
     N, B = sigmaT.shape
     BT = block_chains
@@ -208,7 +239,7 @@ def _pallas_rejfree_chunk(sigma, E, coord, Jp, Jm, seed, beta2s, target, *,
     row = pl.BlockSpec((1, BT), lambda j: (0, j), memory_space=pltpu.VMEM)
     stream = pl.BlockSpec((n_moves, BT), lambda j: (0, j),
                           memory_space=pltpu.VMEM)
-    sig_out, E_out, coord_out, cs, es = pl.pallas_call(
+    sig_out, E_out, coord_out, acc_out, zacc_out, cs, es = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -217,62 +248,75 @@ def _pallas_rejfree_chunk(sigma, E, coord, Jp, Jm, seed, beta2s, target, *,
             pl.BlockSpec(memory_space=pltpu.SMEM),      # target
             pl.BlockSpec(memory_space=pltpu.VMEM),      # Jp [N, D]
             pl.BlockSpec(memory_space=pltpu.VMEM),      # Jm [N, D]
+            pl.BlockSpec((N, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),      # h [N, 1]
             pl.BlockSpec((N, BT), lambda j: (0, j), memory_space=pltpu.VMEM),
             row,                                        # E
             row,                                        # coord
+            row,                                        # acc
+            row,                                        # zacc
         ],
         out_specs=[
             pl.BlockSpec((N, BT), lambda j: (0, j), memory_space=pltpu.VMEM),
-            row, row, stream, stream,
+            row, row, row, row, stream, stream,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((N, B), jnp.int8),
             jax.ShapeDtypeStruct((1, B), jnp.int32),
             jax.ShapeDtypeStruct((1, B), ct),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+            jax.ShapeDtypeStruct((1, B), jnp.float32),
             jax.ShapeDtypeStruct((n_moves, B), ct),
             jax.ShapeDtypeStruct((n_moves, B), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_INTERPRET,
-    )(seed, beta2s, target, Jp, Jm, sigmaT, E[None, :].astype(jnp.int32),
-      coord[None, :].astype(ct))
-    return sig_out.T, E_out[0], coord_out[0], cs, es
+    )(seed, beta2s, target, Jp, Jm, hcol, sigmaT,
+      E[None, :].astype(jnp.int32), coord[None, :].astype(ct),
+      acc[None, :], zacc[None, :])
+    return (sig_out.T, E_out[0], coord_out[0], acc_out[0], zacc_out[0],
+            cs, es)
 
 
 @partial(jax.jit, static_argnames=("L", "D", "bt", "chunk_moves", "mode"))
-def rejfree_run(Jp, Jm, beta2s, sigma, E, coord, Es, seed0, target, step,
-                scale, *, L, D, bt, chunk_moves, mode):
+def rejfree_run(Jp, Jm, hcol, beta2s, sigma, E, coord, Es, seed0, target,
+                step, scale, *, L, D, bt, chunk_moves, mode):
     """Whole hookless rejection-free run in ONE jit: lax.while_loop over
     kernel chunks, checkpoint grid filled per chunk from the (coordinate, E)
     streams (no host sync; the Pallas analog of samplers.bkl._bkl_run).
 
     target/step: scalar arrays (i32 iters / f32 tmax); scale: physical-unit
-    conversion for the emitted int32 energies."""
+    conversion for the emitted int32 energies. Returns (..., acc, zacc):
+    per-chain applied-flip counts and summed z/N over the whole run."""
     from ..samplers.bkl import _fill_checkpoints
 
     target_arr = target.reshape(1)
+    B = sigma.shape[0]
+    acc = jnp.zeros((B,), jnp.int32)
+    zacc = jnp.zeros((B,), jnp.float32)
 
     def cond(carry):
-        _, _, coord, _, _ = carry
+        coord = carry[2]
         return jnp.min(coord) < target
 
     def body(carry):
-        sigma, E, coord, Es, k = carry
+        sigma, E, coord, acc, zacc, Es, k = carry
         seed = (seed0 + k * jnp.int32(7919)).reshape(1)
         x_start = coord
         e_start = E.astype(Es.dtype) * scale
-        sigma, E, coord, cs, es = _pallas_rejfree_chunk(
-            sigma, E, coord, Jp, Jm, seed, beta2s, target_arr,
-            L=L, D=D, block_chains=bt, n_moves=chunk_moves, mode=mode)
+        sigma, E, coord, acc, zacc, cs, es = _pallas_rejfree_chunk(
+            sigma, E, coord, acc, zacc, Jp, Jm, hcol, seed, beta2s,
+            target_arr, L=L, D=D, block_chains=bt, n_moves=chunk_moves,
+            mode=mode)
         Es = _fill_checkpoints(Es, step, x_start, e_start, cs,
                                es.astype(Es.dtype) * scale)
-        return sigma, E, coord, Es, k + 1
+        return sigma, E, coord, acc, zacc, Es, k + 1
 
     k0 = jnp.zeros((), jnp.int32)
-    sigma, E, coord, Es, _ = jax.lax.while_loop(
-        cond, body, (sigma, E, coord, Es, k0))
-    return sigma, E, coord, Es
+    sigma, E, coord, acc, zacc, Es, _ = jax.lax.while_loop(
+        cond, body, (sigma, E, coord, acc, zacc, Es, k0))
+    return sigma, E, coord, Es, acc, zacc
 
 
 # ---------------------------------------------------------------------------
@@ -291,9 +335,9 @@ def rejfree_run(Jp, Jm, beta2s, sigma, E, coord, Es, seed0, target, step,
 
 
 def _rejfree_dense_kernel(seed_ref, beta2s_ref, target_ref, jb_ref, h_ref,
-                          sigma_ref, E_ref, coord_ref,
-                          sigma_out, E_out, coord_out, cs_out, es_out,
-                          *, N, NP, BT, n_moves, mode):
+                          sigma_ref, E_ref, coord_ref, acc_ref, zacc_ref,
+                          sigma_out, E_out, coord_out, acc_out, zacc_out,
+                          cs_out, es_out, *, N, NP, BT, n_moves, mode):
     """One chunk of `n_moves` race-selected moves (mode "bkl" / "wtm" /
     "rrr"), [NP, BT] block.
 
@@ -322,7 +366,7 @@ def _rejfree_dense_kernel(seed_ref, beta2s_ref, target_ref, jb_ref, h_ref,
         return lf + h_ref[:]
 
     def move(m, carry):
-        sig, E, coord = carry
+        sig, E, coord, acc, zacc = carry
         active = coord < target                       # [1, BT]
         half = sig * dense_lf(sig)                    # dE_int = 2*half
         bE = beta2s * jnp.maximum(half, 0).astype(jnp.float32)
@@ -334,6 +378,10 @@ def _rejfree_dense_kernel(seed_ref, beta2s_ref, target_ref, jb_ref, h_ref,
         onehot = iota_nb == imin                      # exact single winner
         dE_i = jnp.sum(jnp.where(onehot, 2 * half, 0), axis=0,
                        keepdims=True, dtype=jnp.int32)
+        z = jnp.sum(jnp.where(valid, jnp.exp(-bE), jnp.float32(0.0)),
+                    axis=0, keepdims=True)            # [1, BT]
+        zacc = zacc + jnp.where(active, z * jnp.float32(1.0 / N),
+                                jnp.float32(0.0))
         if mode == "rrr":
             # staged z' (second matmul on the hypothetical flip); shifted
             # exponential/log domain keeps the z/z' test exact at any beta;
@@ -353,40 +401,38 @@ def _rejfree_dense_kernel(seed_ref, beta2s_ref, target_ref, jb_ref, h_ref,
             sig = jnp.where(onehot & do, -sig, sig)
             E = E + jnp.where(do, dE_i, 0)
             coord = coord + jnp.where(active, 1, 0)
+            acc = acc + do.astype(jnp.int32)
         else:
             sig = jnp.where(onehot & active, -sig, sig)
             E = E + jnp.where(active, dE_i, 0)
+            acc = acc + active.astype(jnp.int32)
         if wtm:
             coord = coord + jnp.where(active, jnp.exp(mrow),
                                       jnp.float32(0.0))
         elif mode == "bkl":
-            z = jnp.sum(jnp.where(valid, jnp.exp(-bE), jnp.float32(0.0)),
-                        axis=0, keepdims=True)        # [1, BT]
             u2 = to_uniform(random_bits((1, BT), salt0 + 3 * m + 1))
-            p = z * jnp.float32(1.0 / N)
-            denom = jnp.log1p(-jnp.minimum(p, jnp.float32(1 - 1e-6)))
-            sk = jnp.floor(jnp.log(jnp.maximum(1 - u2, jnp.float32(1e-38)))
-                           / denom)
-            skip = jnp.minimum(sk, jnp.float32(_SKIP_CAP)).astype(jnp.int32)
-            skip = jnp.where(p >= 1.0, 0, skip)
+            skip = _geom_skip(u2, z * jnp.float32(1.0 / N))
             coord = coord + jnp.where(active, skip + 1, 0)
         cs_out[pl.ds(m, 1), :] = coord
         es_out[pl.ds(m, 1), :] = E
-        return sig, E, coord
+        return sig, E, coord, acc, zacc
 
     sig0 = sigma_ref[:].astype(jnp.int32)
-    sig, E, coord = jax.lax.fori_loop(
-        0, n_moves, move, (sig0, E_ref[:], coord_ref[:]))
+    sig, E, coord, acc, zacc = jax.lax.fori_loop(
+        0, n_moves, move,
+        (sig0, E_ref[:], coord_ref[:], acc_ref[:], zacc_ref[:]))
     sigma_out[:] = sig.astype(jnp.int8)
     E_out[:] = E
     coord_out[:] = coord
+    acc_out[:] = acc
+    zacc_out[:] = zacc
 
 
 @partial(jax.jit, static_argnames=("n_phys", "block_chains", "n_moves",
                                    "mode"))
-def _pallas_rejfree_dense_chunk(sigma, E, coord, Jb, hcol, seed, beta2s,
-                                target, *, n_phys, block_chains, n_moves,
-                                mode):
+def _pallas_rejfree_dense_chunk(sigma, E, coord, acc, zacc, Jb, hcol, seed,
+                                beta2s, target, *, n_phys, block_chains,
+                                n_moves, mode):
     """sigma [B, NP] int8 (rows >= n_phys are +1 padding), Jb [NP, NP] bf16,
     hcol [NP, 1] int32 -> same stream outputs as the lattice chunk."""
     sigmaT = sigma.T
@@ -399,7 +445,7 @@ def _pallas_rejfree_dense_chunk(sigma, E, coord, Jb, hcol, seed, beta2s,
     row = pl.BlockSpec((1, BT), lambda j: (0, j), memory_space=pltpu.VMEM)
     stream = pl.BlockSpec((n_moves, BT), lambda j: (0, j),
                           memory_space=pltpu.VMEM)
-    sig_out, E_out, coord_out, cs, es = pl.pallas_call(
+    sig_out, E_out, coord_out, acc_out, zacc_out, cs, es = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -413,15 +459,19 @@ def _pallas_rejfree_dense_chunk(sigma, E, coord, Jb, hcol, seed, beta2s,
             pl.BlockSpec((NP, BT), lambda j: (0, j), memory_space=pltpu.VMEM),
             row,                                        # E
             row,                                        # coord
+            row,                                        # acc
+            row,                                        # zacc
         ],
         out_specs=[
             pl.BlockSpec((NP, BT), lambda j: (0, j), memory_space=pltpu.VMEM),
-            row, row, stream, stream,
+            row, row, row, row, stream, stream,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((NP, B), jnp.int8),
             jax.ShapeDtypeStruct((1, B), jnp.int32),
             jax.ShapeDtypeStruct((1, B), ct),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+            jax.ShapeDtypeStruct((1, B), jnp.float32),
             jax.ShapeDtypeStruct((n_moves, B), ct),
             jax.ShapeDtypeStruct((n_moves, B), jnp.int32),
         ],
@@ -429,8 +479,10 @@ def _pallas_rejfree_dense_chunk(sigma, E, coord, Jb, hcol, seed, beta2s,
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=_INTERPRET,
     )(seed, beta2s, target, Jb, hcol, sigmaT,
-      E[None, :].astype(jnp.int32), coord[None, :].astype(ct))
-    return sig_out.T, E_out[0], coord_out[0], cs, es
+      E[None, :].astype(jnp.int32), coord[None, :].astype(ct),
+      acc[None, :], zacc[None, :])
+    return (sig_out.T, E_out[0], coord_out[0], acc_out[0], zacc_out[0],
+            cs, es)
 
 
 @partial(jax.jit, static_argnames=("n_phys", "bt", "chunk_moves", "mode"))
@@ -447,32 +499,341 @@ def rejfree_dense_run(Jb, hcol, beta2s, sigma, E, coord, Es, seed0, target,
         sigma = jnp.concatenate(
             [sigma, jnp.ones((B, pad), jnp.int8)], axis=1)
     target_arr = target.reshape(1)
+    acc = jnp.zeros((B,), jnp.int32)
+    zacc = jnp.zeros((B,), jnp.float32)
 
     def cond(carry):
-        _, _, coord, _, _ = carry
+        coord = carry[2]
         return jnp.min(coord) < target
 
     def body(carry):
-        sigma, E, coord, Es, k = carry
+        sigma, E, coord, acc, zacc, Es, k = carry
         seed = (seed0 + k * jnp.int32(7919)).reshape(1)
         x_start = coord
         e_start = E.astype(Es.dtype) * scale
-        sigma, E, coord, cs, es = _pallas_rejfree_dense_chunk(
-            sigma, E, coord, Jb, hcol, seed, beta2s, target_arr,
+        sigma, E, coord, acc, zacc, cs, es = _pallas_rejfree_dense_chunk(
+            sigma, E, coord, acc, zacc, Jb, hcol, seed, beta2s, target_arr,
             n_phys=n_phys, block_chains=bt, n_moves=chunk_moves, mode=mode)
         Es = _fill_checkpoints(Es, step, x_start, e_start, cs,
                                es.astype(Es.dtype) * scale)
-        return sigma, E, coord, Es, k + 1
+        return sigma, E, coord, acc, zacc, Es, k + 1
 
     k0 = jnp.zeros((), jnp.int32)
-    sigma, E, coord, Es, _ = jax.lax.while_loop(
-        cond, body, (sigma, E, coord, Es, k0))
-    return sigma[:, :n_phys], E, coord, Es
+    sigma, E, coord, acc, zacc, Es, _ = jax.lax.while_loop(
+        cond, body, (sigma, E, coord, acc, zacc, Es, k0))
+    return sigma[:, :n_phys], E, coord, Es, acc, zacc
+
+
+# ---------------------------------------------------------------------------
+# HBM-streamed variant: FullyConnected models whose J cannot live in VMEM
+# (densified GraphRRG N=1e4 — the reference's flagship rejection-free
+# workload, /root/reference/scripts/scripts.jl:34-37 — and all float-coupling
+# models, the DeltaECacheCont regime /root/reference/src/DeltaE.jl:299-410).
+# Per move, [W, NP] row blocks of J are DMA'd through a double-buffered VMEM
+# window (the ops/sk_pallas.py stream_j pattern) and the race reduces
+# STREAMINGLY: each block contributes its local (min score, argmin, dE at
+# argmin) and a log-sum-exp update of log z; no [NP, NP] J and no full
+# [NP, BT] lf tensor is ever resident. One J pass per move (two for rrr's
+# staged z'), which is bandwidth/MXU-balanced at BT ~ 128-256 on v5e.
+# Integer J streams as int8 (cast to bf16 post-DMA: exact, |J| <= 127);
+# float J streams as f32 with f32 MXU accumulation and f32 energies.
+# ---------------------------------------------------------------------------
+
+#: finite -inf stand-in: keeps streaming lse exponents finite (exp of
+#: (-1e38 - x) underflows to 0 cleanly; true -inf would make -inf - -inf NaN)
+_NEG = -1.0e38
+
+
+def _rejfree_stream_kernel(seed_ref, beta2s_ref, target_ref, h_ref,
+                           sigma_ref, E_ref, coord_ref, acc_ref, zacc_ref,
+                           J_hbm,
+                           sigma_out, E_out, coord_out, acc_out, zacc_out,
+                           cs_out, es_out,
+                           sig_s, sigb_s, jbuf, sem,
+                           *, N, NP, W, BT, n_moves, mode, flt):
+    """Streamed chunk of `n_moves` race-selected moves, [NP, BT] block.
+
+    J_hbm [NP, NP] int8/f32 stays in HBM; jbuf is the [2, W, NP]
+    double-buffered window; sig_s (int32) / sigb_s (matmul dtype) hold the
+    chain block's spins (Mosaic has no dynamic_slice on loop-carried VALUES,
+    so the per-block row slices go through scratch refs). flt selects f32
+    local fields / energies (float couplings) vs exact int32."""
+    wtm = mode == "wtm"
+    seed_p = program_seed(seed_ref[0], pl.program_id(0))
+    pltpu.prng_seed(seed_p)
+    salt0 = seed_p * jnp.int32(1000003)
+    beta2s = beta2s_ref[0]
+    target = target_ref[0]
+    n_blk = NP // W
+    passes = 2 if mode == "rrr" else 1
+    total = n_moves * passes * n_blk
+    salt_stride = jnp.int32(n_blk + 2)
+    mm_dt = jnp.float32 if flt else jnp.bfloat16
+    acc_dt = jnp.float32 if flt else jnp.int32
+    inv32 = jnp.float32(2.0 ** -32)
+    half_f = jnp.float32(0.5)
+    inf = jnp.float32(3.0e38)
+    neg = jnp.float32(_NEG)
+    log_n = jnp.log(jnp.float32(N))
+
+    def to_uniform(rb):
+        return rb.astype(jnp.float32) * inv32 + half_f
+
+    def j_dma(slot, blk):
+        return pltpu.make_async_copy(
+            J_hbm.at[pl.ds(blk * W, W), :], jbuf.at[slot], sem.at[slot])
+
+    j_dma(0, 0).start()
+
+    def block_lf(g, w):
+        """Wait for block w's J rows, prefetch the next fetch in the global
+        cyclic schedule, return (lf rows [W, BT], row base)."""
+        slot = g % 2
+
+        @pl.when(g + 1 < total)
+        def _():
+            j_dma((g + 1) % 2, (g + 1) % n_blk).start()
+
+        j_dma(slot, w).wait()
+        base = pl.multiple_of(w * W, W)
+        lfb = jax.lax.dot_general(
+            jbuf[slot].astype(mm_dt), sigb_s[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if not flt:
+            lfb = lfb.astype(jnp.int32)
+        return lfb + h_ref[pl.ds(base, W), :], base
+
+    def block_half(g, w, flip_irow):
+        """half_b = sig_b * lf_b for block w (dE = 2*half); flip_irow
+        evaluates the hypothetically flipped state (sigb_s must already hold
+        the flipped matmul operand)."""
+        lfb, base = block_lf(g, w)
+        iota_b = jax.lax.broadcasted_iota(jnp.int32, (W, BT), 0) + base
+        sig_b = sig_s[pl.ds(base, W), :]
+        if flip_irow is not None:
+            sig_b = jnp.where(iota_b == flip_irow, -sig_b, sig_b)
+        if flt:
+            sig_b = sig_b.astype(jnp.float32)
+        return sig_b * lfb, iota_b
+
+    def lse_update(zm, zs, bE_b, validb):
+        """Streaming log-sum-exp of -bE (log z = zm + log zs); all
+        exponents <= 0 by construction, so nothing can overflow."""
+        xb = jnp.where(validb, -bE_b, neg)
+        bm = jnp.max(xb, axis=0, keepdims=True)
+        zm_new = jnp.maximum(zm, bm)
+        zs = (zs * jnp.exp(zm - zm_new)
+              + jnp.sum(jnp.exp(xb - zm_new), axis=0, keepdims=True))
+        return zm_new, zs
+
+    def race_pass(g0, msalt):
+        """Full J pass: race argmin (score min / winner / winner dE) plus
+        streaming log z."""
+        def blk(w, carry):
+            mrow, irow, dEw, zm, zs = carry
+            half_b, iota_b = block_half(g0 + w, w, None)
+            validb = iota_b < N
+            bE_b = beta2s * jnp.maximum(half_b, 0).astype(jnp.float32)
+            zm, zs = lse_update(zm, zs, bE_b, validb)
+            u = to_uniform(random_bits((W, BT), msalt + w))
+            score = jnp.where(validb, jnp.log(-jnp.log(u)) + bE_b, inf)
+            bmin = jnp.min(score, axis=0, keepdims=True)
+            bidx = jnp.min(jnp.where(score == bmin, iota_b, NP),
+                           axis=0, keepdims=True)
+            bdE = jnp.sum(jnp.where(iota_b == bidx, 2 * half_b,
+                                    jnp.zeros((), acc_dt)),
+                          axis=0, keepdims=True, dtype=acc_dt)
+            better = bmin < mrow
+            mrow = jnp.where(better, bmin, mrow)
+            irow = jnp.where(better, bidx, irow)
+            dEw = jnp.where(better, bdE, dEw)
+            return mrow, irow, dEw, zm, zs
+
+        init = (jnp.full((1, BT), inf),
+                jnp.full((1, BT), NP, jnp.int32),
+                jnp.zeros((1, BT), acc_dt),
+                jnp.full((1, BT), neg),
+                jnp.zeros((1, BT), jnp.float32))
+        return jax.lax.fori_loop(0, n_blk, blk, init)
+
+    def z_pass(g0, flip_irow):
+        """Full J pass on the hypothetically flipped state: log z' only."""
+        def blk(w, carry):
+            zm, zs = carry
+            half_b, iota_b = block_half(g0 + w, w, flip_irow)
+            bE_b = beta2s * jnp.maximum(half_b, 0).astype(jnp.float32)
+            return lse_update(zm, zs, bE_b, iota_b < N)
+
+        init = (jnp.full((1, BT), neg), jnp.zeros((1, BT), jnp.float32))
+        return jax.lax.fori_loop(0, n_blk, blk, init)
+
+    def move(m, carry):
+        E, coord, acc, zacc = carry
+        active = coord < target                       # [1, BT]
+        sigb_s[:] = sig_s[:].astype(mm_dt)
+        g0 = m * (passes * n_blk)
+        msalt = salt0 + m * salt_stride
+        mrow, irow, dEw, zm, zs = race_pass(g0, msalt)
+        logz = zm + jnp.log(zs)
+        z_over_n = jnp.exp(logz - log_n)
+        zacc = zacc + jnp.where(active, z_over_n, jnp.float32(0.0))
+        iota_nb = jax.lax.broadcasted_iota(jnp.int32, (NP, BT), 0)
+        onehot = iota_nb == irow
+        zero = jnp.zeros((), acc_dt)
+        if mode == "rrr":
+            sigb_s[:] = jnp.where(onehot, -sig_s[:], sig_s[:]).astype(mm_dt)
+            z2m, z2s = z_pass(g0 + n_blk, irow)
+            logz2 = z2m + jnp.log(z2s)
+            ua = to_uniform(random_bits((1, BT), msalt + n_blk))
+            do = active & (jnp.log(ua) < logz - logz2)
+            sig_s[:] = jnp.where(onehot & do, -sig_s[:], sig_s[:])
+            E = E + jnp.where(do, dEw, zero)
+            coord = coord + jnp.where(active, 1, 0)
+            acc = acc + do.astype(jnp.int32)
+        else:
+            sig_s[:] = jnp.where(onehot & active, -sig_s[:], sig_s[:])
+            E = E + jnp.where(active, dEw, zero)
+            acc = acc + active.astype(jnp.int32)
+        if wtm:
+            coord = coord + jnp.where(active, jnp.exp(mrow),
+                                      jnp.float32(0.0))
+        elif mode == "bkl":
+            u2 = to_uniform(random_bits((1, BT), msalt + n_blk))
+            skip = _geom_skip(u2, z_over_n)
+            coord = coord + jnp.where(active, skip + 1, 0)
+        cs_out[pl.ds(m, 1), :] = coord
+        es_out[pl.ds(m, 1), :] = E
+        return E, coord, acc, zacc
+
+    sig_s[:] = sigma_ref[:].astype(jnp.int32)
+    E, coord, acc, zacc = jax.lax.fori_loop(
+        0, n_moves, move,
+        (E_ref[:], coord_ref[:], acc_ref[:], zacc_ref[:]))
+    sigma_out[:] = sig_s[:].astype(jnp.int8)
+    E_out[:] = E
+    coord_out[:] = coord
+    acc_out[:] = acc
+    zacc_out[:] = zacc
+
+
+@partial(jax.jit, static_argnames=("n_phys", "window", "block_chains",
+                                   "n_moves", "mode"))
+def _pallas_rejfree_stream_chunk(sigma, E, coord, acc, zacc, Jhbm, hcol,
+                                 seed, beta2s, target, *, n_phys, window,
+                                 block_chains, n_moves, mode):
+    """sigma [B, NP] int8 (rows >= n_phys are +1 padding), Jhbm [NP, NP]
+    int8 (integer couplings) or f32 (float couplings, f32 energies)."""
+    sigmaT = sigma.T
+    NP, B = sigmaT.shape
+    BT = block_chains
+    W = window
+    grid = (B // BT,)
+    flt = not jnp.issubdtype(Jhbm.dtype, jnp.integer)
+    et = jnp.float32 if flt else jnp.int32
+    ct = jnp.float32 if mode == "wtm" else jnp.int32
+    mm_dt = jnp.float32 if flt else jnp.bfloat16
+    kernel = partial(_rejfree_stream_kernel, N=n_phys, NP=NP, W=W, BT=BT,
+                     n_moves=n_moves, mode=mode, flt=flt)
+    row = pl.BlockSpec((1, BT), lambda j: (0, j), memory_space=pltpu.VMEM)
+    stream = pl.BlockSpec((n_moves, BT), lambda j: (0, j),
+                          memory_space=pltpu.VMEM)
+    sig_out, E_out, coord_out, acc_out, zacc_out, cs, es = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # seed
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # beta2s
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # target
+            pl.BlockSpec((NP, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),      # h
+            pl.BlockSpec((NP, BT), lambda j: (0, j), memory_space=pltpu.VMEM),
+            row,                                        # E
+            row,                                        # coord
+            row,                                        # acc
+            row,                                        # zacc
+            pl.BlockSpec(memory_space=pltpu.ANY),       # J stays in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec((NP, BT), lambda j: (0, j), memory_space=pltpu.VMEM),
+            row, row, row, row, stream, stream,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((NP, B), jnp.int8),
+            jax.ShapeDtypeStruct((1, B), et),
+            jax.ShapeDtypeStruct((1, B), ct),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+            jax.ShapeDtypeStruct((1, B), jnp.float32),
+            jax.ShapeDtypeStruct((n_moves, B), ct),
+            jax.ShapeDtypeStruct((n_moves, B), et),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((NP, BT), jnp.int32),            # sig_s
+            pltpu.VMEM((NP, BT), mm_dt),                # sigb_s (matmul rhs)
+            pltpu.VMEM((2, W, NP), Jhbm.dtype),         # jbuf (double buffer)
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_INTERPRET,
+    )(seed, beta2s, target, hcol, sigmaT, E[None, :].astype(et),
+      coord[None, :].astype(ct), acc[None, :], zacc[None, :], Jhbm)
+    return (sig_out.T, E_out[0], coord_out[0], acc_out[0], zacc_out[0],
+            cs, es)
+
+
+@partial(jax.jit, static_argnames=("n_phys", "window", "bt", "chunk_moves",
+                                   "mode"))
+def rejfree_stream_run(Jhbm, hcol, beta2s, sigma, E, coord, Es, seed0,
+                       target, step, scale, *, n_phys, window, bt,
+                       chunk_moves, mode):
+    """Streamed analog of `rejfree_dense_run`: whole hookless run in ONE
+    jit; sigma is the UNPADDED [B, N] state."""
+    from ..samplers.bkl import _fill_checkpoints
+
+    NP = Jhbm.shape[0]
+    B = sigma.shape[0]
+    pad = NP - n_phys
+    if pad:
+        sigma = jnp.concatenate(
+            [sigma, jnp.ones((B, pad), jnp.int8)], axis=1)
+    target_arr = target.reshape(1)
+    acc = jnp.zeros((B,), jnp.int32)
+    zacc = jnp.zeros((B,), jnp.float32)
+
+    def cond(carry):
+        coord = carry[2]
+        return jnp.min(coord) < target
+
+    def body(carry):
+        sigma, E, coord, acc, zacc, Es, k = carry
+        seed = (seed0 + k * jnp.int32(7919)).reshape(1)
+        x_start = coord
+        e_start = E.astype(Es.dtype) * scale
+        sigma, E, coord, acc, zacc, cs, es = _pallas_rejfree_stream_chunk(
+            sigma, E, coord, acc, zacc, Jhbm, hcol, seed, beta2s,
+            target_arr, n_phys=n_phys, window=window, block_chains=bt,
+            n_moves=chunk_moves, mode=mode)
+        Es = _fill_checkpoints(Es, step, x_start, e_start, cs,
+                               es.astype(Es.dtype) * scale)
+        return sigma, E, coord, acc, zacc, Es, k + 1
+
+    k0 = jnp.zeros((), jnp.int32)
+    sigma, E, coord, acc, zacc, Es, _ = jax.lax.while_loop(
+        cond, body, (sigma, E, coord, acc, zacc, Es, k0))
+    return sigma[:, :n_phys], E, coord, Es, acc, zacc
 
 
 #: dense rejfree J budget: bf16 [NP, NP] must fit VMEM beside the state
-#: and stream buffers (128MB scoped limit)
+#: and stream buffers (128MB scoped limit); above it, the HBM-streamed
+#: variant takes over
 _DENSE_NP_MAX = 4096
+#: streamed-variant caps: int8 J in HBM <= 1 GB / f32 J in HBM <= 1 GB
+_STREAM_NP_MAX = 32768
+_STREAM_NP_MAX_F = 16384
+#: streamed row-block windows (int8 jbuf 2*W*NP vs f32 4x larger)
+_STREAM_W = 512
+_STREAM_W_F = 128
 
 #: id(J)-keyed memo for the dense eligibility host checks (avoids an O(N^2)
 #: device->host pull per bklMC/wtmMC call)
@@ -482,16 +843,22 @@ _DENSE_OK_CACHE: dict = {}
 def _dense_rejfree_ok(model) -> bool:
     from ..samplers.common import bound_cache_put
 
-    if not (jnp.issubdtype(model.J.dtype, jnp.integer)
-            and jnp.issubdtype(model.h.dtype, jnp.integer)
-            and 8 <= model.N <= _DENSE_NP_MAX):
+    integer = jnp.issubdtype(model.J.dtype, jnp.integer)
+    if integer:
+        if not (jnp.issubdtype(model.h.dtype, jnp.integer)
+                and 8 <= model.N <= _STREAM_NP_MAX):
+            return False
+    elif not 8 <= model.N <= _STREAM_NP_MAX_F:
         return False
     key = id(model.J)
     ent = _DENSE_OK_CACHE.get(key)
     if ent is None or ent[0] is not model.J:
-        J = np.asarray(model.J).astype(np.int64)
-        ok = bool(np.abs(J).max() <= 127
-                  and np.abs(J).sum(axis=1).max() < (1 << 24))
+        if integer:
+            J = np.asarray(model.J).astype(np.int64)
+            ok = bool(np.abs(J).max() <= 127
+                      and np.abs(J).sum(axis=1).max() < (1 << 24))
+        else:
+            ok = bool(np.all(np.isfinite(np.asarray(model.J))))
         ent = (model.J, ok)
         bound_cache_put(_DENSE_OK_CACHE, key, ent)
     return ent[1]
@@ -505,18 +872,21 @@ def pallas_rejfree_eligible(model, chains: int) -> bool:
         return False
     if isinstance(model, LatticeEA):
         return (jnp.issubdtype(model.Jd.dtype, jnp.integer)
-                and model.N >= 8
-                and int(jnp.max(jnp.abs(model.h))) == 0)
+                and jnp.issubdtype(model.h.dtype, jnp.integer)
+                and model.N >= 8)
     if isinstance(model, FullyConnected):
         return _dense_rejfree_ok(model)
     return False
 
 
 class PallasRejectionFree:
-    """Reusable rejection-free runner for an integer LatticeEA or integer
-    FullyConnected (|J| <= 127) model.
+    """Reusable rejection-free runner for an integer LatticeEA (fields OK)
+    or a FullyConnected model: integer |J| <= 127 (VMEM-resident J up to
+    N=4096, HBM-streamed beyond, up to N=32768) or float couplings
+    (HBM-streamed f32, up to N=16384).
 
-    mode = "bkl" (virtual-iteration coordinate) or "wtm" (global time)."""
+    mode = "bkl" (virtual-iteration coordinate), "wtm" (global time) or
+    "rrr" (one iteration per move, staged z/z' acceptance)."""
 
     def __init__(self, model, beta: float, mode: str, *,
                  block_chains: int = 128, chunk_moves: int = 1024):
@@ -529,17 +899,22 @@ class PallasRejectionFree:
         self.model, self.mode = model, mode
         self.block_chains = block_chains
         self.chunk_moves = chunk_moves
+        self.flt = False
         if isinstance(model, LatticeEA):
             assert jnp.issubdtype(model.Jd.dtype, jnp.integer)
-            assert int(jnp.max(jnp.abs(model.h))) == 0, "fields unsupported"
+            assert jnp.issubdtype(model.h.dtype, jnp.integer)
             Jp, Jm = _build_dir_tables(model)
             self.Jp, self.Jm = jnp.asarray(Jp), jnp.asarray(Jm)
+            self.hcol = jnp.asarray(np.asarray(model.h, np.int32)
+                                    .reshape(model.N, 1))
             self.L, self.D = model.L, model.D
             self.kind = "lattice"
-        else:
-            assert isinstance(model, FullyConnected), type(model)
-            assert _dense_rejfree_ok(model), \
-                "dense rejfree needs integer J/h, |J|<=127, N<=4096"
+            return
+        assert isinstance(model, FullyConnected), type(model)
+        assert _dense_rejfree_ok(model), \
+            "dense rejfree needs integer |J|<=127 N<=32768 or float N<=16384"
+        integer = jnp.issubdtype(model.J.dtype, jnp.integer)
+        if integer and model.N <= _DENSE_NP_MAX:
             NP = -(-model.N // 128) * 128
             J = np.zeros((NP, NP), np.float32)
             J[:model.N, :model.N] = np.asarray(model.J)
@@ -548,38 +923,75 @@ class PallasRejectionFree:
             self.Jb = jnp.asarray(J, jnp.bfloat16)
             self.hcol = jnp.asarray(h)
             self.kind = "dense"
+            return
+        # HBM-streamed: pad N to a window multiple; J stays int8 (cast to
+        # bf16 post-DMA, exact) or f32 (float couplings -> f32 energies)
+        self.flt = not integer
+        W = _STREAM_W_F if self.flt else _STREAM_W
+        NP = -(-model.N // W) * W
+        jd = np.float32 if self.flt else np.int8
+        J = np.zeros((NP, NP), jd)
+        J[:model.N, :model.N] = np.asarray(model.J).astype(jd)
+        h = np.zeros((NP, 1), np.float32 if self.flt else np.int32)
+        h[:model.N, 0] = np.asarray(model.h)
+        self.Jhbm = jnp.asarray(J)
+        self.hcol = jnp.asarray(h)
+        self.window = W
+        self.kind = "stream"
 
     def run(self, sigma, E, coord, Es, seed, target, step, scale):
-        """Whole hookless run (while_loop over kernel chunks, one jit)."""
+        """Whole hookless run (while_loop over kernel chunks, one jit).
+        Returns (sigma, E, coord, Es, acc, zacc): acc = applied flips per
+        chain, zacc = summed z/N over moves (acceptance diagnostics)."""
         if self.kind == "lattice":
             return rejfree_run(
-                self.Jp, self.Jm, self.beta2s, sigma, E, coord, Es, seed,
-                target, step, scale, L=self.L, D=self.D,
+                self.Jp, self.Jm, self.hcol, self.beta2s, sigma, E, coord,
+                Es, seed, target, step, scale, L=self.L, D=self.D,
                 bt=self.block_chains, chunk_moves=self.chunk_moves,
                 mode=self.mode)
-        return rejfree_dense_run(
-            self.Jb, self.hcol, self.beta2s, sigma, E, coord, Es, seed,
-            target, step, scale, n_phys=self.model.N, bt=self.block_chains,
-            chunk_moves=self.chunk_moves, mode=self.mode)
+        if self.kind == "dense":
+            return rejfree_dense_run(
+                self.Jb, self.hcol, self.beta2s, sigma, E, coord, Es, seed,
+                target, step, scale, n_phys=self.model.N,
+                bt=self.block_chains, chunk_moves=self.chunk_moves,
+                mode=self.mode)
+        return rejfree_stream_run(
+            self.Jhbm, self.hcol, self.beta2s, sigma, E, coord, Es, seed,
+            target, step, scale, n_phys=self.model.N, window=self.window,
+            bt=self.block_chains, chunk_moves=self.chunk_moves,
+            mode=self.mode)
 
-    def chunk(self, sigma, E, coord, *, seed, target):
-        """Advance every chain by `chunk_moves` rejection-free moves."""
+    def chunk(self, sigma, E, coord, *, seed, target, acc=None, zacc=None):
+        """Advance every chain by `chunk_moves` rejection-free moves.
+        Returns (sigma, E, coord, acc, zacc, coord_stream, E_stream)."""
         tgt = jnp.asarray([target],
                           jnp.float32 if self.mode == "wtm" else jnp.int32)
+        B = sigma.shape[0]
+        if acc is None:
+            acc = jnp.zeros((B,), jnp.int32)
+        if zacc is None:
+            zacc = jnp.zeros((B,), jnp.float32)
         if self.kind == "lattice":
             return _pallas_rejfree_chunk(
-                sigma, E, coord, self.Jp, self.Jm,
+                sigma, E, coord, acc, zacc, self.Jp, self.Jm, self.hcol,
                 jnp.asarray([seed], jnp.int32), self.beta2s, tgt,
                 L=self.L, D=self.D, block_chains=self.block_chains,
                 n_moves=self.chunk_moves, mode=self.mode)
-        B = sigma.shape[0]
-        NP = self.Jb.shape[0]
+        NP = (self.Jb if self.kind == "dense" else self.Jhbm).shape[0]
         if NP > self.model.N:
             sigma = jnp.concatenate(
                 [sigma, jnp.ones((B, NP - self.model.N), jnp.int8)], axis=1)
-        sig, E, coord, cs, es = _pallas_rejfree_dense_chunk(
-            sigma, E, coord, self.Jb, self.hcol,
-            jnp.asarray([seed], jnp.int32), self.beta2s, tgt,
-            n_phys=self.model.N, block_chains=self.block_chains,
-            n_moves=self.chunk_moves, mode=self.mode)
-        return sig[:, :self.model.N], E, coord, cs, es
+        if self.kind == "dense":
+            sig, E, coord, acc, zacc, cs, es = _pallas_rejfree_dense_chunk(
+                sigma, E, coord, acc, zacc, self.Jb, self.hcol,
+                jnp.asarray([seed], jnp.int32), self.beta2s, tgt,
+                n_phys=self.model.N, block_chains=self.block_chains,
+                n_moves=self.chunk_moves, mode=self.mode)
+        else:
+            sig, E, coord, acc, zacc, cs, es = _pallas_rejfree_stream_chunk(
+                sigma, E, coord, acc, zacc, self.Jhbm, self.hcol,
+                jnp.asarray([seed], jnp.int32), self.beta2s, tgt,
+                n_phys=self.model.N, window=self.window,
+                block_chains=self.block_chains,
+                n_moves=self.chunk_moves, mode=self.mode)
+        return sig[:, :self.model.N], E, coord, acc, zacc, cs, es

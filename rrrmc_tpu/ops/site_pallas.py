@@ -18,9 +18,15 @@ preserves every chain's law — the same argument as the dense sweep's shared
 permutation, samplers/dense_sweep.py). Use the XLA path when fully
 independent per-chain site sequences matter.
 
-Restricted to integer-coupling Pairwise models (exact int32 energies; fields
-enter through the local-field init). ~0.5us/move for a full chain block vs
-~70us on the XLA path.
+Integer-coupling Pairwise models keep exact int32 energies; float-coupling
+models (GraphRRGNormal / GraphEANormal — the reference's continuous-J
+regime, /root/reference/src/graphs/RRG.jl:504-627) run the same moves with
+f32 local fields and energies (each flip's dE comes from the incrementally
+maintained f32 lf; the O(deg) updates accumulate f32 rounding in lf bounded
+by the run length — same budget as the XLA float path). Fields enter through
+the local-field init. ~0.5us/move for a full chain block vs ~70us on the
+XLA path. Emits per-call accepted-move counts (MCState.accepted stays
+correct on the kernel route).
 """
 
 from __future__ import annotations
@@ -39,10 +45,11 @@ _INTERPRET = interpret_params()
 
 
 def _site_kernel(seed_ref, nm_ref, betas_ref, sites_ref, neigh_ref, J_ref,
-                 sigma_ref, lf_ref, sigma_out, lf_out, dE_out,
-                 sig_s, lf_s, dE_s, *, N, K, BT):
+                 sigma_ref, lf_ref, sigma_out, lf_out, dE_out, acc_out,
+                 sig_s, lf_s, dE_s, *, N, K, BT, flt):
     """sites_ref [MAX_MOVES] SMEM; neigh_ref/J_ref [N*K] SMEM (row-major,
-    padded with site N -> the scratch sink row)."""
+    padded with site N -> the scratch sink row). flt: f32 lf/dE (float
+    couplings) vs exact int32."""
     seed_p = program_seed(seed_ref[0], pl.program_id(0))
     pltpu.prng_seed(seed_p)
     salt0 = seed_p * jnp.int32(1000003)
@@ -51,12 +58,14 @@ def _site_kernel(seed_ref, nm_ref, betas_ref, sites_ref, neigh_ref, J_ref,
 
     sig_s[pl.ds(0, N), :] = sigma_ref[:].astype(jnp.int32)
     lf_s[pl.ds(0, N), :] = lf_ref[:]
-    dE_s[:] = jnp.zeros((1, BT), jnp.int32)
+    dt = jnp.float32 if flt else jnp.int32
+    dE_s[:] = jnp.zeros((1, BT), dt)
 
-    def move(m, _):
+    def move(m, acc_cnt):
         i = sites_ref[m]
         s_row = sig_s[pl.ds(i, 1), :]                   # [1, BT]
-        dE = 2 * s_row * lf_s[pl.ds(i, 1), :]
+        s_val = s_row.astype(dt)
+        dE = 2 * s_val * lf_s[pl.ds(i, 1), :]
         p = jnp.exp(-beta_s * dE.astype(jnp.float32))
         th = jnp.clip(
             p * jnp.float32(4294967296.0) - jnp.float32(2147483648.0),
@@ -64,30 +73,34 @@ def _site_kernel(seed_ref, nm_ref, betas_ref, sites_ref, neigh_ref, J_ref,
             jnp.float32(2147483520.0)).astype(jnp.int32)
         rbits = random_bits((1, BT), salt0 + m)
         acc = (dE <= 0) | (rbits < th)
-        d = jnp.where(acc, -2 * s_row, 0)               # [1, BT]
+        d = jnp.where(acc, -2 * s_val, jnp.zeros((), dt))   # [1, BT]
         sig_s[pl.ds(i, 1), :] = jnp.where(acc, -s_row, s_row)
         for k in range(K):                              # unrolled
             nb = neigh_ref[i * K + k]       # padded entries point at N
             lf_s[pl.ds(nb, 1), :] = (lf_s[pl.ds(nb, 1), :]
                                      + J_ref[i * K + k] * d)
-        dE_s[:] = dE_s[:] + jnp.where(acc, dE, 0)
-        return 0
+        dE_s[:] = dE_s[:] + jnp.where(acc, dE, jnp.zeros((), dt))
+        return acc_cnt + acc.astype(jnp.int32)
 
-    jax.lax.fori_loop(0, n_moves, move, 0)
+    acc_cnt = jax.lax.fori_loop(0, n_moves, move,
+                                jnp.zeros((1, BT), jnp.int32))
     sigma_out[:] = sig_s[pl.ds(0, N), :].astype(jnp.int8)
     lf_out[:] = lf_s[pl.ds(0, N), :]
     dE_out[:] = dE_s[:]
+    acc_out[:] = acc_cnt
 
 
 @partial(jax.jit, static_argnames=("K", "block_chains"))
-def _pallas_site(sigma, lfT, E, sites, neigh_flat, J_flat, seed, n_moves,
-                 beta_s, *, K, block_chains):
+def _pallas_site(sigma, lfT, E, acc, sites, neigh_flat, J_flat, seed,
+                 n_moves, beta_s, *, K, block_chains):
     sigmaT = sigma.T
     N, B = sigmaT.shape
     BT = block_chains
     grid = (B // BT,)
-    kernel = partial(_site_kernel, N=N, K=K, BT=BT)
-    sig_out, lf_out, dE = pl.pallas_call(
+    flt = not jnp.issubdtype(J_flat.dtype, jnp.integer)
+    dt = jnp.float32 if flt else jnp.int32
+    kernel = partial(_site_kernel, N=N, K=K, BT=BT, flt=flt)
+    sig_out, lf_out, dE, acc_new = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -104,26 +117,29 @@ def _pallas_site(sigma, lfT, E, sites, neigh_flat, J_flat, seed, n_moves,
             pl.BlockSpec((N, BT), lambda j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((N, BT), lambda j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, BT), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BT), lambda j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((N, B), jnp.int8),
-            jax.ShapeDtypeStruct((N, B), jnp.int32),
+            jax.ShapeDtypeStruct((N, B), dt),
+            jax.ShapeDtypeStruct((1, B), dt),
             jax.ShapeDtypeStruct((1, B), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((N + 1, BT), jnp.int32),   # sig_s (+ padding row)
-            pltpu.VMEM((N + 1, BT), jnp.int32),   # lf_s (padding row = sink)
-            pltpu.VMEM((1, BT), jnp.int32),       # dE_s
+            pltpu.VMEM((N + 1, BT), dt),          # lf_s (padding row = sink)
+            pltpu.VMEM((1, BT), dt),              # dE_s
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_INTERPRET,
     )(seed, n_moves, beta_s, sites, neigh_flat, J_flat, sigmaT, lfT)
-    return sig_out.T, E + dE[0], lf_out
+    return sig_out.T, E + dE[0], lf_out, acc + acc_new[0]
 
 
 class PallasSiteSampler:
-    """Reusable single-site Metropolis runner for an integer Pairwise model.
+    """Reusable single-site Metropolis runner for a Pairwise model (integer
+    couplings: exact int32 energies; float couplings: f32 lf/E).
 
     The neighbor-table padding convention (sentinel site N, J=0) routes
     padded updates to the scratch's extra sink row, exactly like the
@@ -136,23 +152,29 @@ class PallasSiteSampler:
         from ..models.pairwise import Pairwise
 
         assert isinstance(model, Pairwise), "requires a Pairwise model"
-        assert jnp.issubdtype(model.J.dtype, jnp.integer), \
-            "pallas site sampler requires integer couplings"
         self.model = model
         self.N, self.K = model.N, model.K
+        self.flt = not jnp.issubdtype(model.J.dtype, jnp.integer)
+        jd = jnp.float32 if self.flt else jnp.int32
         self.neigh_flat = model.neigh.reshape(-1).astype(jnp.int32)
-        self.J_flat = model.J.reshape(-1).astype(jnp.int32)
+        self.J_flat = model.J.reshape(-1).astype(jd)
         self.beta_s = jnp.asarray([beta * model.scale], jnp.float32)
         self.block_chains = block_chains
 
-    def __call__(self, sigma, E, key, *, seed: int, n_moves: int, lfT=None):
-        """sigma [B, N] int8, E [B] int32, key: jax PRNG key for the shared
-        site schedule. Returns (sigma', E', lfT', key')."""
+    def __call__(self, sigma, E, key, *, seed: int, n_moves: int, lfT=None,
+                 acc=None):
+        """sigma [B, N] int8, E [B] int32/f32, key: jax PRNG key for the
+        shared site schedule. Returns (sigma', E', lfT', key', acc'):
+        acc accumulates accepted-move counts across calls."""
         B, N = sigma.shape
         bt = self.block_chains or auto_block_chains(B, 30 * (N + 1))
         if lfT is None:
             from ..samplers.common import init_lfT
             lfT = init_lfT(self.model, sigma)
+        if self.flt:
+            lfT = lfT.astype(jnp.float32)
+        if acc is None:
+            acc = jnp.zeros((B,), jnp.int32)
         done = 0
         while done < n_moves:
             m = min(self.MAX_MOVES, n_moves - done)
@@ -160,10 +182,10 @@ class PallasSiteSampler:
             # fixed-size site bucket: one compile for every chunk length
             sites = jax.random.randint(ks, (self.MAX_MOVES,), 0, N,
                                        jnp.int32)
-            sigma, E, lfT = _pallas_site(
-                sigma, lfT, E, sites, self.neigh_flat, self.J_flat,
+            sigma, E, lfT, acc = _pallas_site(
+                sigma, lfT, E, acc, sites, self.neigh_flat, self.J_flat,
                 jnp.asarray([seed + done], jnp.int32),
                 jnp.asarray([m], jnp.int32), self.beta_s,
                 K=self.K, block_chains=bt)
             done += m
-        return sigma, E, lfT, key
+        return sigma, E, lfT, key, acc

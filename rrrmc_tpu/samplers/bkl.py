@@ -135,12 +135,14 @@ _REJFREE_CACHE: dict = {}
 def _rejfree_mc(model, beta: float, mode: str, target, step, chains: int,
                 seed: int, state: MCState, n_ckpt: int,
                 chunk_moves: int = 1024, block_chains: int = 128):
-    """Shared Pallas rejection-free driver for bklMC / wtmMC on integer
-    LatticeEA / FullyConnected models (ops/rejfree_pallas.py). Hookless only;
-    `accepted` is not updated (as the other Pallas paths)."""
+    """Shared Pallas rejection-free driver for bklMC / wtmMC / rrrMC on
+    integer LatticeEA / FullyConnected models (VMEM or HBM-streamed by
+    size; float couplings stream with f32 energies). Hookless only.
+    `accepted` counts applied flips (kernel acc output); the per-chain
+    summed z/N diagnostic lands in samplers.common.LAST_ROUTE."""
     import jax.numpy as jnp
     from ..ops.rejfree_pallas import PallasRejectionFree
-    from .common import bound_cache_put, init_aux_batch
+    from .common import bound_cache_put, init_aux_batch, set_route
 
     assert chains % block_chains == 0, (chains, block_chains)
     Jid = model.Jd if hasattr(model, "Jd") else model.J
@@ -154,16 +156,20 @@ def _rejfree_mc(model, beta: float, mode: str, target, step, chains: int,
     rf = ent[1]
     wtm = mode == "wtm"
     ct = jnp.float32 if wtm else jnp.int32
+    et = jnp.float32 if rf.flt else jnp.int32
     Es = jnp.zeros((chains, n_ckpt), ftype())
     coord = jnp.zeros((chains,), ct)
-    sigma, E, coord, Es = rf.run(
-        state.sigma, state.E.astype(jnp.int32), coord, Es,
+    sigma, E, coord, Es, acc, zacc = rf.run(
+        state.sigma, state.E.astype(et), coord, Es,
         jnp.asarray(seed % (2 ** 31), jnp.int32),
         jnp.asarray(target, ct), jnp.asarray(step, ct),
         jnp.asarray(model.scale, ftype()))
     aux = init_aux_batch(model, sigma)
+    # store arrays unsynced (eager reductions cost ~0.1-1s on remote
+    # backends); consumers materialize when reporting
+    set_route(f"pallas-rejfree-{rf.kind}", mode=mode, acc=acc, z_over_n=zacc)
     return Es, MCState(sigma=sigma, aux=aux, E=E.astype(state.E.dtype),
-                       key=state.key, accepted=state.accepted)
+                       key=state.key, accepted=state.accepted + acc)
 
 
 def _series_buffer(model, state: MCState, n_ckpt: int, observer):
@@ -189,9 +195,13 @@ def bklMC(model: Model, beta: float, iters: int, *, step: int = 1,
     exactly as energies do.
 
     backend: "pallas" / "auto" route hookless observer-less runs on integer
-    LatticeEA models (chains % 128 == 0, iters <= 1e9) through the
-    VMEM-resident rejection-free kernel (ops/rejfree_pallas.py, ~50-100x the
-    XLA single-move path); "xla" forces the generic path."""
+    LatticeEA / eligible FullyConnected models (chains % 128 == 0,
+    iters <= 1e9) through the rejection-free race kernel
+    (ops/rejfree_pallas.py: VMEM-resident or HBM-streamed by J size; float
+    couplings stream with f32 energies; ~50-100x the XLA single-move path);
+    "xla" forces the generic path."""
+    from .common import set_route
+
     if state is None:
         state = init_state(model, chains, seed, C0)
     n_ckpt = iters // step
@@ -202,6 +212,7 @@ def bklMC(model: Model, beta: float, iters: int, *, step: int = 1,
                                    and pallas_rejfree_eligible(model, chains)):
             return _rejfree_mc(model, float(beta), "bkl", iters, step,
                                chains, seed, state, n_ckpt)
+    set_route("xla")
     Es = _series_buffer(model, state, n_ckpt, observer)
     it = jnp.zeros(chains, jnp.int64 if jax.config.jax_enable_x64 else jnp.int32)
     if hook is None:

@@ -22,6 +22,18 @@ from ..core.model import Model, random_spins
 #: arbitrary default seed, mirroring /root/reference/src/RRRMC.jl:82
 DEFAULT_SEED = 167432777111 % (2 ** 31)
 
+#: which execution path the LAST sampler call actually took (routing is
+#: automatic, so users otherwise can't tell): {"backend": "xla" |
+#: "pallas-...", ...} plus kernel diagnostics (acc / z_over_n arrays,
+#: unsynced). experiments.runtest reports it; purely informational.
+LAST_ROUTE: dict = {}
+
+
+def set_route(backend: str, **extra):
+    LAST_ROUTE.clear()
+    LAST_ROUTE["backend"] = backend
+    LAST_ROUTE.update(extra)
+
 
 @pytree
 class MCState:
@@ -90,10 +102,14 @@ def bound_cache_put(cache: dict, key, value, limit: int = 8):
 
 @jax.jit
 def init_lfT(model, sigma):
-    """[N, B] int32 local-field table for the Pallas kernels. Module-level
-    jit: a per-call `jax.jit(lambda ...)` would recompile on EVERY call
-    (the jit cache is keyed by function identity) — ~0.8s a pop here."""
-    return jax.vmap(model.local_fields)(sigma).T.astype(jnp.int32)
+    """[N, B] local-field table for the Pallas kernels: int32 for integer
+    couplings (exact), f32 for float couplings. Module-level jit: a per-call
+    `jax.jit(lambda ...)` would recompile on EVERY call (the jit cache is
+    keyed by function identity) — ~0.8s a pop here."""
+    lf = jax.vmap(model.local_fields)(sigma).T
+    dt = (jnp.int32 if jnp.issubdtype(lf.dtype, jnp.integer)
+          else jnp.float32)
+    return lf.astype(dt)
 
 
 @partial(jax.jit, static_argnames=("dtype",))

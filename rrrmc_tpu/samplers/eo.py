@@ -142,9 +142,9 @@ def extremal_opt(model: Model, tau: float, iters: int, *, step: int = 1,
     if state is None:
         state = init_state(model, chains, seed, C0)
     if backend != "xla":
-        from ..ops.rejfree_pallas import pallas_rejfree_eligible
+        from ..ops.eo_pallas import pallas_eo_eligible
         if backend == "pallas" or (jax.default_backend() != "cpu"
-                                   and pallas_rejfree_eligible(model, chains)):
+                                   and pallas_eo_eligible(model, chains)):
             return _eo_pallas(model, float(tau), iters, chains, seed, state)
     cdf = jnp.asarray(_rank_cdf(model.N, float(tau)))
     sigma, E, Emin, smin, itmin = _eo_run_xla(model, cdf, state, iters)

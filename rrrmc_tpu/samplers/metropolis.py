@@ -58,7 +58,8 @@ def standardMC(model: Model, beta: float, iters: int, *, step: int = 1,
     site sequence. backend="pallas": the VMEM-resident single-site kernel
     (ops/site_pallas.py, ~200x faster) — each chain is still an exact
     Metropolis chain but the site SCHEDULE is shared across the batch;
-    integer Pairwise models only, chains % 128 == 0, no hook/observer.
+    Pairwise models only (integer couplings: exact int32 energies; float
+    couplings: f32), chains % 128 == 0, no hook/observer.
 
     CAVEAT (shared schedule): chains are NOT mutually independent under
     backend="pallas" (acceptance draws are independent, site choices are
@@ -67,6 +68,8 @@ def standardMC(model: Model, beta: float, iters: int, *, step: int = 1,
     (experiments.stats_time SEMs, analysis R-hat style diagnostics). Use
     backend="xla", or treat the batch as one effective chain for error bars.
     """
+    from .common import set_route
+
     if state is None:
         state = init_state(model, chains, seed, C0)
     if backend == "pallas":
@@ -74,6 +77,7 @@ def standardMC(model: Model, beta: float, iters: int, *, step: int = 1,
             "the pallas single-site path has no hook/observer support"
         return _standard_pallas(model, float(beta), iters, step, seed, state)
     assert backend == "xla", backend
+    set_route("xla")
     state, series = run_with_hook(model, state, float(beta),
                                   make_metropolis_step,
                                   iters // step, step, observer,
@@ -114,8 +118,11 @@ def _advance_keys(keys):
 
 
 def _standard_pallas(model, beta, iters, step, seed, state):
+    from .common import set_route
+
     ps = _cached_site_sampler(model, beta)
-    sigma, E = state.sigma, state.E.astype(jnp.int32)
+    sigma = state.sigma
+    E = state.E.astype(jnp.float32 if ps.flt else jnp.int32)
     if iters <= 0:
         return (jnp.zeros((sigma.shape[0], 0), jnp.float32), state)
     # randomness derives from the chain keys (not the static seed), so a
@@ -124,20 +131,22 @@ def _standard_pallas(model, beta, iters, step, seed, state):
     key = jax.random.fold_in(state.key[0], 0x517E)
     seed_base = int(_derive_seed(state.key[0]))
     lfT = init_lfT(model, sigma)
+    acc = state.accepted
     n_ckpt = iters // step
     Es = []
     for c in range(n_ckpt):
-        sigma, E, lfT, key = ps(sigma, E, key,
-                                seed=(seed_base + 7919 * c) % (2 ** 31),
-                                n_moves=step, lfT=lfT)
+        sigma, E, lfT, key, acc = ps(sigma, E, key,
+                                     seed=(seed_base + 7919 * c) % (2 ** 31),
+                                     n_moves=step, lfT=lfT, acc=acc)
         Es.append(E)
     if iters % step:
-        sigma, E, lfT, key = ps(sigma, E, key,
-                                seed=(seed_base + 7919 * n_ckpt) % (2 ** 31),
-                                n_moves=iters % step, lfT=lfT)
+        sigma, E, lfT, key, acc = ps(
+            sigma, E, key, seed=(seed_base + 7919 * n_ckpt) % (2 ** 31),
+            n_moves=iters % step, lfT=lfT, acc=acc)
     E_series = (stack_physical(tuple(Es), float(model.scale)) if Es
                 else jnp.zeros((0, sigma.shape[0]), jnp.float32))
+    set_route("pallas-site")
     state = MCState(sigma=sigma, aux=transpose_astype(lfT, state.aux.dtype),
-                    E=E, key=_advance_keys(state.key),
-                    accepted=state.accepted)
+                    E=E.astype(state.E.dtype), key=_advance_keys(state.key),
+                    accepted=acc)
     return series_to_chain_major(E_series), state

@@ -79,13 +79,16 @@ def rrrMC(model: Model, beta: float, iters: int, *, step: int = 1,
     Returns (Es [chains, iters // step], final MCState).
 
     backend: "pallas" / "auto" route hookless observer-less runs on SINGLE
-    (non-Double) integer LatticeEA / FullyConnected models through the
-    race-select + staged-z' kernel (ops/rejfree_pallas.py mode="rrr":
+    (non-Double) integer LatticeEA / eligible FullyConnected models through
+    the race-select + staged-z' kernel (ops/rejfree_pallas.py mode="rrr":
     two local-field passes per move, z/z' acceptance in a shifted log
-    domain; ~50-100x the XLA single-move path; `accepted` not updated).
-    Double models (Quant/RE wrappers) keep the XLA path — rt.flatten() +
-    rt.densify() a pairwise-representable wrapper stack to put it on the
-    kernel. "xla" forces the generic path."""
+    domain; VMEM-resident or HBM-streamed by J size; float couplings stream
+    with f32 energies; ~50-100x the XLA single-move path). Double models
+    (Quant/RE wrappers) keep the XLA path — rt.flatten() + rt.densify() a
+    pairwise-representable wrapper stack to put it on the kernel. "xla"
+    forces the generic path."""
+    from .common import set_route
+
     del staged_thr, staged_thr_fact  # kernel-identical branches; see docstring
     if not math.isfinite(beta):
         raise ValueError(f"beta must be finite, given: {beta}")
@@ -99,6 +102,7 @@ def rrrMC(model: Model, beta: float, iters: int, *, step: int = 1,
             from .bkl import _rejfree_mc
             return _rejfree_mc(model, float(beta), "rrr", iters, step,
                                chains, seed, state, iters // step)
+    set_route("xla")
     state, series = run_with_hook(model, state, float(beta), make_rrr_step,
                                   iters // step, step, observer,
                                   hook, hook_every)

@@ -144,9 +144,12 @@ def wtmMC(model: Model, beta: float, samples: int, *, step: float = 1.0,
     per-chain observable (snapshots for the overlap pipeline etc.).
 
     backend: "pallas" / "auto" route hookless observer-less runs on integer
-    LatticeEA models (chains % 128 == 0) through the VMEM-resident
-    rejection-free kernel (ops/rejfree_pallas.py); "xla" forces the generic
-    path."""
+    LatticeEA / eligible FullyConnected models (chains % 128 == 0) through
+    the rejection-free race kernel (ops/rejfree_pallas.py: VMEM-resident or
+    HBM-streamed by J size; float couplings stream with f32 energies);
+    "xla" forces the generic path."""
+    from .common import set_route
+
     if state is None:
         state = init_state(model, chains, seed, C0)
     ft = ftype()
@@ -159,6 +162,7 @@ def wtmMC(model: Model, beta: float, samples: int, *, step: float = 1.0,
             from .bkl import _rejfree_mc
             return _rejfree_mc(model, float(beta), "wtm", tmax, step_t,
                                chains, seed, state, samples)
+    set_route("xla")
     key_times = jax.vmap(
         lambda k: jax.random.fold_in(k, 0x77777))(state.key)
     times = jax.jit(jax.vmap(

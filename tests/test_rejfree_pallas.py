@@ -208,6 +208,146 @@ def test_rrr_pallas_matches_xla_law(rejfree_interp):
     assert abs(a - b) < 0.03, (a, b)
 
 
+# ---------------------------------------------------------------------------
+# HBM-streamed variant (ops/rejfree_pallas._rejfree_stream_kernel): J row
+# blocks DMA'd through a double-buffered VMEM window per move, race reduced
+# streamingly per block. Windows shrunk here so small models exercise the
+# MULTI-block cyclic DMA schedule; integer and float (SKNormal) couplings,
+# lattice fields, and acceptance accounting.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture
+def stream_small(rejfree_interp):
+    """Tiny stream windows + VMEM cap: small models take the streamed
+    multi-block path instead of the VMEM-resident dense kernel."""
+    rp = rejfree_interp
+    old = (rp._DENSE_NP_MAX, rp._STREAM_W, rp._STREAM_W_F)
+    rp._DENSE_NP_MAX = 16
+    rp._STREAM_W = 64
+    rp._STREAM_W_F = 32
+    import rrrmc_tpu.samplers.bkl as sb
+    sb._REJFREE_CACHE.clear()
+    yield rp
+    rp._DENSE_NP_MAX, rp._STREAM_W, rp._STREAM_W_F = old
+    sb._REJFREE_CACHE.clear()
+
+
+def test_stream_bkl_densified_rrg(stream_small):
+    """densify(GraphRRG) N=150 -> NP=192, 3 streamed blocks: exact invariant,
+    stream route taken, accepted counter updated."""
+    import rrrmc_tpu as rt
+    from rrrmc_tpu.samplers.common import LAST_ROUTE
+
+    X = rt.densify(rt.GraphRRG(150, 3, (-1, 1), seed=21))
+    Es, st = rt.bklMC(X, 2.0, iters=8_000, step=100, chains=128, seed=3,
+                      backend="pallas")
+    assert LAST_ROUTE["backend"] == "pallas-rejfree-stream"
+    E_re = jax.jit(jax.vmap(X.energy))(st.sigma)
+    np.testing.assert_array_equal(np.asarray(E_re), np.asarray(st.E))
+    assert np.all(np.isfinite(np.asarray(Es)))
+    acc = np.asarray(st.accepted)
+    assert acc.min() > 0 and acc.max() <= 8_000
+
+
+def test_stream_bkl_boltzmann(stream_small):
+    """Multi-block streamed bkl (W=8 -> 3 blocks at N=18): time-weighted
+    checkpoint mean matches the exact 2^18 Boltzmann enumeration."""
+    import rrrmc_tpu as rt
+
+    stream_small._STREAM_W = 8
+    X = rt.densify(rt.GraphRRG(18, 3, (-1, 1), seed=7))
+    beta = 1.0
+    E_exact = _boltzmann_mean(X, beta)
+    Es, _ = rt.bklMC(X, beta, iters=60_000, step=200, chains=128, seed=9,
+                     backend="pallas")
+    Es = np.asarray(Es)
+    got = Es[:, Es.shape[1] // 4:].mean()
+    sem = Es[:, Es.shape[1] // 4:].std() / np.sqrt(Es.shape[0] * 3.0)
+    assert abs(got - E_exact) < max(5 * sem, 0.05), (got, E_exact, sem)
+
+
+def test_stream_rrr_and_wtm_invariant(stream_small):
+    """rrr (two streamed passes per move) and wtm on the streamed path."""
+    import rrrmc_tpu as rt
+
+    X = rt.densify(rt.GraphRRG(150, 3, (-1, 1), seed=11))
+    Es, st = rt.rrrMC(X, 1.0, iters=4_000, step=100, chains=128, seed=5,
+                      backend="pallas")
+    E_re = jax.jit(jax.vmap(X.energy))(st.sigma)
+    np.testing.assert_array_equal(np.asarray(E_re), np.asarray(st.E))
+    Es, st = rt.wtmMC(X, 2.0, samples=40, step=5.0, chains=128, seed=5,
+                      backend="pallas")
+    E_re = jax.jit(jax.vmap(X.energy))(st.sigma)
+    np.testing.assert_array_equal(np.asarray(E_re), np.asarray(st.E))
+
+
+def test_stream_float_sknormal(stream_small):
+    """GraphSKNormal rides the f32 streamed kernel: energy invariant within
+    f32 accumulation error, equilibrium law matches the XLA bkl path
+    (the DeltaECacheCont regime, /root/reference/src/DeltaE.jl:299-410)."""
+    import rrrmc_tpu as rt
+    from rrrmc_tpu.samplers.common import LAST_ROUTE
+
+    X = rt.GraphSKNormal(96, seed=5)
+    Es, st = rt.bklMC(X, 1.0, iters=20_000, step=200, chains=128, seed=3,
+                      backend="pallas")
+    assert LAST_ROUTE["backend"] == "pallas-rejfree-stream"
+    E_re = np.asarray(jax.jit(jax.vmap(X.energy))(st.sigma), np.float64)
+    np.testing.assert_allclose(np.asarray(st.E, np.float64), E_re,
+                               atol=5e-3)
+    Ex, _ = rt.bklMC(X, 1.0, iters=20_000, step=200, chains=128, seed=4,
+                     backend="xla")
+    a = np.asarray(Es)[:, 50:].mean() / X.N
+    b = np.asarray(Ex)[:, 50:].mean() / X.N
+    assert abs(a - b) < 0.03, (a, b)
+
+
+def test_lattice_fields_bkl_boltzmann(rejfree_interp):
+    """LatticeEA WITH external fields routes to the lattice kernel (the
+    AddFields composition, /root/reference/src/graphs/AddFields.jl:16-123)
+    and matches the exact 2^16 Boltzmann mean."""
+    import dataclasses
+
+    import rrrmc_tpu as rt
+    from rrrmc_tpu.ops.rejfree_pallas import pallas_rejfree_eligible
+
+    X0 = rt.GraphEA(4, 2, (-1, 1), seed=11)   # N = 16
+    rng = np.random.default_rng(3)
+    h = rng.integers(-2, 3, size=X0.N)
+    X = dataclasses.replace(X0, h=jnp.asarray(h, X0.h.dtype))
+    assert pallas_rejfree_eligible(X, 128)
+    beta = 1.0
+    E_exact = _boltzmann_mean(X, beta)
+    Es, st = rt.bklMC(X, beta, iters=60_000, step=200, chains=128, seed=9,
+                      backend="pallas")
+    E_re = jax.jit(jax.vmap(X.energy))(st.sigma)
+    np.testing.assert_array_equal(np.asarray(E_re), np.asarray(st.E))
+    Es = np.asarray(Es)
+    got = Es[:, Es.shape[1] // 4:].mean()
+    sem = Es[:, Es.shape[1] // 4:].std() / np.sqrt(Es.shape[0] * 3.0)
+    assert abs(got - E_exact) < max(5 * sem, 0.05), (got, E_exact, sem)
+
+
+def test_kernel_accept_accounting_matches_xla(rejfree_interp):
+    """rrr kernel acceptance rate agrees statistically with the XLA rrr
+    path; bkl kernel `accepted` counts applied (rejection-free) moves."""
+    import rrrmc_tpu as rt
+
+    X = rt.GraphEA(4, 3, (-1, 1), seed=5)
+    iters = 20_000
+    _, st_k = rt.rrrMC(X, 2.0, iters=iters, step=1000, chains=128, seed=3,
+                       backend="pallas")
+    _, st_x = rt.rrrMC(X, 2.0, iters=iters, step=1000, chains=128, seed=4,
+                       backend="xla")
+    rk = np.asarray(st_k.accepted).mean() / iters
+    rx = np.asarray(st_x.accepted).mean() / iters
+    assert abs(rk - rx) < 0.05, (rk, rx)
+    _, st_b = rt.bklMC(X, 2.0, iters=5_000, step=1000, chains=128, seed=3,
+                       backend="pallas")
+    assert np.asarray(st_b.accepted).min() > 0
+
+
 def test_rrr_pallas_double_stays_on_xla(rejfree_interp):
     """Double models (Quant wrappers) must NOT route to the kernel."""
     import rrrmc_tpu as rt
