@@ -54,7 +54,7 @@ from .models.committee import (
 )
 from .samplers.metropolis import standardMC
 from .samplers.sweep import sweepMC
-from .samplers.dense_sweep import sweepMC_dense
+from .samplers.dense_sweep import sweepMC_dense, sweepMC_quant
 from .samplers.rrr import rrrMC
 from .samplers.bkl import bklMC
 from .samplers.wtm import wtmMC

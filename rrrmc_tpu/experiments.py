@@ -71,7 +71,7 @@ def runtest(sampler: Callable, model, beta: float, iters: int, *,
 
 
 def runtest_wtm(model, beta: float, samples: int, *, chains: int = 64,
-                step: float = 1.0, seed: int = 167) -> Dict:
+                step: float = 1.0, seed: int = 167, **kw) -> Dict:
     """WTM timing in nominal-Metropolis-iteration units: one unit of WTM
     global time corresponds to N attempted Metropolis flips (the reference's
     wtm factors absorb exactly this time compression, scripts.jl:37)."""
@@ -79,16 +79,18 @@ def runtest_wtm(model, beta: float, samples: int, *, chains: int = 64,
 
     t0 = time.time()
     Es, state = rt.wtmMC(model, beta, samples, step=step, chains=chains,
-                         seed=seed)
+                         seed=seed, **kw)
     np.asarray(state.E)
     t_cold = time.time() - t0
     t0 = time.time()
     Es, state = rt.wtmMC(model, beta, samples, step=step, chains=chains,
-                         seed=seed)
+                         seed=seed, **kw)
     np.asarray(state.E)
     t_warm = time.time() - t0
+    from .samplers.common import LAST_ROUTE
     nominal_iters = model.N * (step / model.N) * samples  # = step * samples
     return {"sampler": "wtmMC", "wall_cold_s": t_cold, "wall_warm_s": t_warm,
+            "backend": LAST_ROUTE.get("backend", "unknown"),
             "iters_per_s": nominal_iters / t_warm,
             "E_per_spin": float(np.asarray(Es)[:, -1].mean() / model.N)}
 
@@ -118,6 +120,105 @@ def equal_wallclock_factors(model, beta: float, *, iters: int = 20_000,
         rates["wtm"] = r["iters_per_s"]
     base = rates.get("rrr")
     return {name: rate / base for name, rate in rates.items()}
+
+
+def equilibrated_factors(model, beta: float, *, chains: int = 128,
+                         seed: int = 167, equil_sweeps: int = 1000,
+                         densified=None, target_s: float = 6.0) -> Dict:
+    """Equal-wallclock sampler factors measured FROM EQUILIBRIUM with every
+    sampler on its best backend — the regime of the reference's alignment
+    table (/root/reference/scripts/scripts.jl:34-37,163-166, which
+    characterizes equilibrated low-acceptance dynamics, not transients).
+
+    model: a sparse Pairwise (GraphRRG / GraphRRGNormal). Metropolis runs
+    the single-site kernel on it; rrr/bkl/wtm run the rejection-free race
+    kernels on `densified` (defaults to rt.densify(model)). Equilibration =
+    `equil_sweeps * N` virtual iterations of kernel BKL from a random start
+    (rejection-free reaches the low-acceptance regime orders of magnitude
+    faster than Metropolis); every measured row then warm-starts from the
+    SAME equilibrated spins. Each row is probe-calibrated so its measured
+    dispatch lasts ~target_s (remote dispatches must stay well under the
+    ~60s relay limit). Returns factors vs rrr plus per-row diagnostics
+    (acceptance / moves-per-iteration, mean z/N, absolute rates, backend)."""
+    import rrrmc_tpu as rt
+    from .samplers.common import LAST_ROUTE
+
+    Xd = rt.densify(model) if densified is None else densified
+    N = model.N
+    # --- equilibrate with kernel BKL (virtual time = equil_sweeps sweeps),
+    # in adaptively-sized segments: a single fixed-length dispatch from a
+    # random start can run minutes at low beta (move count ~ z/N * iters)
+    # and remote dispatches past ~60s kill the relay
+    t0 = time.time()
+    st_eq, done, seg = None, 0, 5 * N
+    while done < equil_sweeps * N:
+        seg = min(seg, equil_sweeps * N - done)
+        kwa = {"state": st_eq} if st_eq is not None else {"seed": seed}
+        ts = time.time()
+        _, st_eq = rt.bklMC(Xd, beta, iters=seg, step=seg, chains=chains,
+                            backend="pallas", **kwa)
+        np.asarray(st_eq.E)
+        dt = max(time.time() - ts, 1e-3)
+        done += seg
+        seg = int(seg * min(8.0, max(0.25, 8.0 / dt)))
+    C0 = np.asarray(st_eq.sigma)
+    t_eq = time.time() - t0
+
+    def measure(model_m, call, probe_n):
+        """call(n, state_or_None) -> (Es, state); probe (compiles + warms),
+        scale n toward target_s, then one measured run."""
+        _, st = call(probe_n, None)              # cold: compiles, C0 start
+        np.asarray(st.E)
+        t0 = time.time()
+        _, st = call(probe_n, st)                # warm probe
+        np.asarray(st.E)
+        dt = max(time.time() - t0, 1e-3)
+        n = int(probe_n * max(1.0, min(target_s / dt, 10_000.0)))
+        acc0 = np.asarray(st.accepted).astype(np.int64)
+        t0 = time.time()
+        _, st2 = call(n, st)                     # measured run
+        np.asarray(st2.E)
+        dt = time.time() - t0
+        accd = np.asarray(st2.accepted).astype(np.int64) - acc0
+        row = {"backend": LAST_ROUTE.get("backend", "unknown"),
+               "nominal_iters": n, "iters_per_s": n / dt, "wall_s": dt,
+               "moves_or_accepts_per_iter": float(accd.mean() / n),
+               "E_per_spin": float(
+                   (np.asarray(st2.E, np.float64)
+                    * float(model_m.scale)).mean() / N)}
+        if LAST_ROUTE.get("z_over_n") is not None:
+            zn = np.asarray(LAST_ROUTE["z_over_n"], np.float64)
+            ac = np.asarray(LAST_ROUTE["acc"], np.float64)
+            row["mean_z_over_n"] = float((zn / np.maximum(ac, 1)).mean())
+        return row
+
+    def kw(st):
+        return {"C0": C0} if st is None else {"state": st}
+
+    rows = {}
+    rows["standard"] = measure(model, lambda n, st: rt.standardMC(
+        model, beta, int(n), step=int(n), chains=chains, seed=seed,
+        backend="pallas", **kw(st)), 200_000)
+    rows["rrr"] = measure(Xd, lambda n, st: rt.rrrMC(
+        Xd, beta, int(n), step=max(1, int(n)), chains=chains, seed=seed,
+        backend="pallas", **kw(st)), 2_000)
+    rows["bkl"] = measure(Xd, lambda n, st: rt.bklMC(
+        Xd, beta, int(n), step=max(1, int(n)), chains=chains, seed=seed,
+        backend="pallas", **kw(st)), 200_000)
+    # wtm nominal iterations = global time * N (samples * step)
+    rows["wtm"] = measure(Xd, lambda n, st: rt.wtmMC(
+        Xd, beta, 10, step=n / 10, chains=chains, seed=seed,
+        backend="pallas", **kw(st)), 50_000)
+    base = rows["rrr"]["iters_per_s"]
+    return {
+        "beta": beta, "N": N, "chains": chains,
+        "equil_sweeps": equil_sweeps, "equil_wall_s": t_eq,
+        "E_per_spin_eq": float(np.asarray(st_eq.E, np.float64).mean()
+                               * float(Xd.scale) / N),
+        "factors_vs_rrr": {k: r["iters_per_s"] / base
+                           for k, r in rows.items()},
+        "rows": rows,
+    }
 
 
 def stats_time(Es: np.ndarray, *, step: int = 1, nbins: int = 20,

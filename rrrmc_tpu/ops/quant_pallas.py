@@ -1,0 +1,531 @@
+"""Pallas TPU kernels for ring-replica composites (GraphQuant over a dense
+base): the paper's QIsing workload at kernel speed.
+
+GraphQuant(Nk, M, Gamma, beta, base) is M Trotter replicas of `base` plus a
+ferromagnetic ring across replicas at each site
+(/root/reference/src/graphs/QT.jl:126-199). Flattened to one [Nk*M, Nk*M]
+coupling matrix it would stream ~1 GB of J per move; exploiting the replica
+structure instead, the composite physical local field is
+
+    lf[(k, i)] = sb * (J_base @ s_k + h)_i  +  c4 * (s_{k-1,i} + s_{k+1,i})
+
+with sb = base.scale / M (the 1/M Suzuki-Trotter weight) and c4 = fourK/4 —
+i.e. M small [Nk, Nk] x [Nk, BT] MXU matmuls on the VMEM-resident base J
+(exact bf16 for integer bases, f32 for float bases) plus ONE sublane rotate
+by +-Nk on the replica-major composite (the ring neighbors are exactly +-Nk
+rows, /root/reference/src/graphs/QT.jl:105-108, matching models/replicas.py's
+replica-major layout). 16x fewer FLOPs than the flattened dense form and no
+HBM streaming.
+
+Two kernels share the lf identity:
+
+* rejection-free race kernel (modes bkl / wtm / rrr) — identical move
+  selection, time bookkeeping, and acceptance accounting to
+  ops/rejfree_pallas.py, with f32 PHYSICAL energies (the composite mixes the
+  base's integer grid with the irrational fourK);
+* sequential Metropolis sweep kernel (the Metropolis baseline of the paper's
+  QIsing experiment, /root/reference/scripts/scripts.jl:766-863) — the
+  delayed-update window scheme of ops/sk_pallas.py, with windows contained
+  in one replica block (ring partners live in OTHER replica blocks, so the
+  in-window correction needs only the base J block; the rank-W commit adds
+  the base update to the mover's block and the c4-scaled delta to the two
+  ring-neighbor blocks' aligned rows).
+
+Kernel-rrr on the composite is the SingleGraph rrr law on the flattened
+model (moves ~ min(1, e^{-beta dE_total}), staged z/z') — same stationary
+distribution as the reference's Double-graph rrr, reached by a different
+(typically faster-mixing) chain; the XLA path keeps the reference's
+inner+residual split.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .prng import interpret_params, program_seed, random_bits
+from .rejfree_pallas import _geom_skip
+
+_INTERPRET = interpret_params()
+
+#: composite-size cap: sig int32 + matmul copy + (sweep) lf f32 scratch at
+#: BT=128 must fit VMEM
+_RING_NM_MAX = 32768
+
+
+# ---------------------------------------------------------------------------
+# Spec extraction: QuantModel -> kernel tables (host-side, cached)
+# ---------------------------------------------------------------------------
+
+_SPEC_CACHE: dict = {}
+
+
+def quant_ring_spec(model):
+    """Kernel tables for a GraphQuant over a FullyConnected (or densifiable
+    Pairwise) base, or None if the model does not fit the kernel:
+
+    {Jb [Nk, Nk] bf16/f32, hph [Nk*M, 1] f32 (= sb*h tiled), sb, c4, M, Nk,
+     flt} — flt marks a float base (f32 matmul instead of exact bf16)."""
+    from ..models.dense import FullyConnected, densify
+    from ..models.pairwise import Pairwise
+    from ..models.replicas import QuantModel, Replicated
+    from ..samplers.common import bound_cache_put
+    from .rejfree_pallas import _dense_rejfree_ok
+
+    if not isinstance(model, QuantModel):
+        return None
+    resid = model.resid_m
+    if not isinstance(resid, Replicated) or resid.offset != 0:
+        return None
+    base = resid.base
+    key = (id(base.J if hasattr(base, "J") else base), model.M,
+           float(model.inner_m.scale), float(resid.weight))
+    ent = _SPEC_CACHE.get(key)
+    if ent is not None and ent[0] is (base.J if hasattr(base, "J") else base):
+        return ent[1]
+    dense = base
+    if isinstance(dense, Pairwise) and not isinstance(dense, FullyConnected):
+        try:
+            dense = densify(dense)
+        except AssertionError:
+            return None
+    if not isinstance(dense, FullyConnected):
+        return None
+    Nk, M = dense.N, model.M
+    if Nk % 128 != 0 or M <= 2 or Nk * M > _RING_NM_MAX:
+        return None
+    integer = jnp.issubdtype(dense.J.dtype, jnp.integer)
+    if integer and not _dense_rejfree_ok(dense):
+        return None
+    jd = jnp.bfloat16 if integer else jnp.float32
+    sb = float(dense.scale) * float(resid.weight)
+    h = np.asarray(dense.h, np.float64) * sb
+    spec = {
+        "Jb": jnp.asarray(np.asarray(dense.J, np.float32), jd),
+        "hph": jnp.asarray(np.tile(h.reshape(Nk, 1), (M, 1)), jnp.float32),
+        "sb": sb,
+        "c4": float(model.inner_m.scale),
+        "M": M, "Nk": Nk, "flt": not integer,
+    }
+    bound_cache_put(_SPEC_CACHE, key,
+                    (base.J if hasattr(base, "J") else base, spec))
+    return spec
+
+
+def quant_ring_eligible(model, chains: int) -> bool:
+    return chains % 128 == 0 and quant_ring_spec(model) is not None
+
+
+# ---------------------------------------------------------------------------
+# Shared lf identity
+# ---------------------------------------------------------------------------
+
+
+def _make_ring_lf(jb_ref, hph_ref, sbc, c4c, *, Nk, M, BT, flt):
+    """Returns lf_phys(sig[int32 NM x BT]) -> f32 [NM, BT]: M static-sliced
+    base matmuls + one +-Nk sublane rotate for the Trotter ring."""
+    NM = Nk * M
+    mm_dt = jnp.float32 if flt else jnp.bfloat16
+
+    def lf_phys(sig):
+        sigm = sig.astype(mm_dt)
+        parts = []
+        for k in range(M):                       # static slices of a VALUE
+            s_k = sigm[k * Nk:(k + 1) * Nk, :]
+            parts.append(jax.lax.dot_general(
+                jb_ref[:], s_k,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        lf = sbc * jnp.concatenate(parts, axis=0) + hph_ref[:]
+        ring = pltpu.roll(sig, Nk, axis=0) + pltpu.roll(sig, NM - Nk, axis=0)
+        return lf + c4c * ring.astype(jnp.float32)
+
+    return lf_phys
+
+
+# ---------------------------------------------------------------------------
+# Rejection-free race kernel (bkl / wtm / rrr)
+# ---------------------------------------------------------------------------
+
+
+def _ring_rejfree_kernel(seed_ref, beta_ref, target_ref, jb_ref, hph_ref,
+                         sigma_ref, E_ref, coord_ref, acc_ref, zacc_ref,
+                         sigma_out, E_out, coord_out, acc_out, zacc_out,
+                         cs_out, es_out, *, Nk, M, BT, n_moves, mode, flt,
+                         sb, c4):
+    """Same race machinery as ops/rejfree_pallas._rejfree_dense_kernel with
+    the ring-replica lf and f32 physical energies."""
+    wtm = mode == "wtm"
+    NM = Nk * M
+    seed_p = program_seed(seed_ref[0], pl.program_id(0))
+    pltpu.prng_seed(seed_p)
+    salt0 = seed_p * jnp.int32(1000003)
+    beta = beta_ref[0]
+    target = target_ref[0]
+    sbc = jnp.float32(sb)
+    c4c = jnp.float32(c4)
+    lf_phys = _make_ring_lf(jb_ref, hph_ref, sbc, c4c, Nk=Nk, M=M, BT=BT,
+                            flt=flt)
+    iota_nb = jax.lax.broadcasted_iota(jnp.int32, (NM, BT), 0)
+    inv32 = jnp.float32(2.0 ** -32)
+    half_f = jnp.float32(0.5)
+
+    def to_uniform(rb):
+        return rb.astype(jnp.float32) * inv32 + half_f
+
+    beta2 = 2.0 * beta        # dE = 2*half: fold the 2 into the exponent
+
+    def move(m, carry):
+        sig, E, coord, acc, zacc = carry
+        active = coord < target                       # [1, BT]
+        half = sig.astype(jnp.float32) * lf_phys(sig)   # dE = 2*half, f32
+        bE = beta2 * jnp.maximum(half, 0.0)
+        u = to_uniform(random_bits((NM, BT), salt0 + 3 * m))
+        score = jnp.log(-jnp.log(u)) + bE
+        mrow = jnp.min(score, axis=0, keepdims=True)
+        sel = score == mrow
+        imin = jnp.min(jnp.where(sel, iota_nb, NM), axis=0, keepdims=True)
+        onehot = iota_nb == imin
+        dE_i = jnp.sum(jnp.where(onehot, 2.0 * half, 0.0), axis=0,
+                       keepdims=True)
+        z = jnp.sum(jnp.exp(-bE), axis=0, keepdims=True)
+        zacc = zacc + jnp.where(active, z * jnp.float32(1.0 / NM),
+                                jnp.float32(0.0))
+        if mode == "rrr":
+            sig2 = jnp.where(onehot, -sig, sig)
+            bE2 = beta2 * jnp.maximum(
+                sig2.astype(jnp.float32) * lf_phys(sig2), 0.0)
+            m1 = jnp.min(bE, axis=0, keepdims=True)
+            m2 = jnp.min(bE2, axis=0, keepdims=True)
+            z1 = jnp.sum(jnp.exp(m1 - bE), axis=0, keepdims=True)
+            z2 = jnp.sum(jnp.exp(m2 - bE2), axis=0, keepdims=True)
+            ua = to_uniform(random_bits((1, BT), salt0 + 3 * m + 1))
+            do = active & (jnp.log(ua)
+                           < jnp.log(z1) - jnp.log(z2) + (m2 - m1))
+            sig = jnp.where(onehot & do, -sig, sig)
+            E = E + jnp.where(do, dE_i, 0.0)
+            coord = coord + jnp.where(active, 1, 0)
+            acc = acc + do.astype(jnp.int32)
+        else:
+            sig = jnp.where(onehot & active, -sig, sig)
+            E = E + jnp.where(active, dE_i, 0.0)
+            acc = acc + active.astype(jnp.int32)
+        if wtm:
+            coord = coord + jnp.where(active, jnp.exp(mrow),
+                                      jnp.float32(0.0))
+        elif mode == "bkl":
+            u2 = to_uniform(random_bits((1, BT), salt0 + 3 * m + 1))
+            skip = _geom_skip(u2, z * jnp.float32(1.0 / NM))
+            coord = coord + jnp.where(active, skip + 1, 0)
+        cs_out[pl.ds(m, 1), :] = coord
+        es_out[pl.ds(m, 1), :] = E
+        return sig, E, coord, acc, zacc
+
+    sig0 = sigma_ref[:].astype(jnp.int32)
+    sig, E, coord, acc, zacc = jax.lax.fori_loop(
+        0, n_moves, move,
+        (sig0, E_ref[:], coord_ref[:], acc_ref[:], zacc_ref[:]))
+    sigma_out[:] = sig.astype(jnp.int8)
+    E_out[:] = E
+    coord_out[:] = coord
+    acc_out[:] = acc
+    zacc_out[:] = zacc
+
+
+@partial(jax.jit, static_argnames=("Nk", "M", "block_chains", "n_moves",
+                                   "mode", "flt", "sb", "c4"))
+def _pallas_ring_rejfree_chunk(sigma, E, coord, acc, zacc, Jb, hph, seed,
+                               beta, target, *, Nk, M, block_chains,
+                               n_moves, mode, flt, sb, c4):
+    sigmaT = sigma.T
+    NM, B = sigmaT.shape
+    BT = block_chains
+    grid = (B // BT,)
+    ct = jnp.float32 if mode == "wtm" else jnp.int32
+    kernel = partial(_ring_rejfree_kernel, Nk=Nk, M=M, BT=BT,
+                     n_moves=n_moves, mode=mode, flt=flt, sb=sb, c4=c4)
+    row = pl.BlockSpec((1, BT), lambda j: (0, j), memory_space=pltpu.VMEM)
+    stream = pl.BlockSpec((n_moves, BT), lambda j: (0, j),
+                          memory_space=pltpu.VMEM)
+    sig_out, E_out, coord_out, acc_out, zacc_out, cs, es = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # seed
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # beta
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # target
+            pl.BlockSpec((Nk, Nk), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),      # Jb
+            pl.BlockSpec((NM, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),      # hph
+            pl.BlockSpec((NM, BT), lambda j: (0, j), memory_space=pltpu.VMEM),
+            row, row, row, row,
+        ],
+        out_specs=[
+            pl.BlockSpec((NM, BT), lambda j: (0, j), memory_space=pltpu.VMEM),
+            row, row, row, row, stream, stream,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((NM, B), jnp.int8),
+            jax.ShapeDtypeStruct((1, B), jnp.float32),
+            jax.ShapeDtypeStruct((1, B), ct),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+            jax.ShapeDtypeStruct((1, B), jnp.float32),
+            jax.ShapeDtypeStruct((n_moves, B), ct),
+            jax.ShapeDtypeStruct((n_moves, B), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_INTERPRET,
+    )(seed, beta, target, Jb, hph, sigmaT, E[None, :].astype(jnp.float32),
+      coord[None, :].astype(ct), acc[None, :], zacc[None, :])
+    return (sig_out.T, E_out[0], coord_out[0], acc_out[0], zacc_out[0],
+            cs, es)
+
+
+@partial(jax.jit, static_argnames=("Nk", "M", "bt", "chunk_moves", "mode",
+                                   "flt", "sb", "c4"))
+def ring_rejfree_run(Jb, hph, beta, sigma, E, coord, Es, seed0, target,
+                     step, scale, *, Nk, M, bt, chunk_moves, mode, flt,
+                     sb, c4):
+    """Whole hookless run in ONE jit (see rejfree_pallas.rejfree_run);
+    energies are f32 PHYSICAL throughout (scale is 1.0 for composites)."""
+    from ..samplers.bkl import _fill_checkpoints
+
+    B = sigma.shape[0]
+    target_arr = target.reshape(1)
+    acc = jnp.zeros((B,), jnp.int32)
+    zacc = jnp.zeros((B,), jnp.float32)
+
+    def cond(carry):
+        return jnp.min(carry[2]) < target
+
+    def body(carry):
+        sigma, E, coord, acc, zacc, Es, k = carry
+        seed = (seed0 + k * jnp.int32(7919)).reshape(1)
+        x_start = coord
+        e_start = E.astype(Es.dtype) * scale
+        sigma, E, coord, acc, zacc, cs, es = _pallas_ring_rejfree_chunk(
+            sigma, E, coord, acc, zacc, Jb, hph, seed, beta, target_arr,
+            Nk=Nk, M=M, block_chains=bt, n_moves=chunk_moves, mode=mode,
+            flt=flt, sb=sb, c4=c4)
+        Es = _fill_checkpoints(Es, step, x_start, e_start, cs,
+                               es.astype(Es.dtype) * scale)
+        return sigma, E, coord, acc, zacc, Es, k + 1
+
+    k0 = jnp.zeros((), jnp.int32)
+    sigma, E, coord, acc, zacc, Es, _ = jax.lax.while_loop(
+        cond, body, (sigma, E, coord, acc, zacc, Es, k0))
+    return sigma, E, coord, Es, acc, zacc
+
+
+class PallasRingRejFree:
+    """Rejection-free runner (bkl / wtm / rrr) for GraphQuant composites —
+    same .run()/.chunk() surface as rejfree_pallas.PallasRejectionFree so
+    samplers.bkl._rejfree_mc drives both. Energies are f32 physical
+    (flt is always True for the driver's dtype selection)."""
+
+    kind = "ring"
+    flt = True
+
+    def __init__(self, model, beta: float, mode: str, *,
+                 block_chains: int = 128, chunk_moves: int = 512):
+        spec = quant_ring_spec(model)
+        assert spec is not None, "model is not ring-replica eligible"
+        assert mode in ("bkl", "wtm", "rrr")
+        self.model, self.mode = model, mode
+        self.spec = spec
+        self.beta = jnp.asarray([beta], jnp.float32)
+        self.block_chains = block_chains
+        self.chunk_moves = chunk_moves
+
+    def run(self, sigma, E, coord, Es, seed, target, step, scale):
+        s = self.spec
+        return ring_rejfree_run(
+            s["Jb"], s["hph"], self.beta, sigma, E, coord, Es, seed,
+            target, step, scale, Nk=s["Nk"], M=s["M"],
+            bt=self.block_chains, chunk_moves=self.chunk_moves,
+            mode=self.mode, flt=s["flt"], sb=s["sb"], c4=s["c4"])
+
+
+# ---------------------------------------------------------------------------
+# Sequential Metropolis sweep kernel (the paper's Metropolis baseline)
+# ---------------------------------------------------------------------------
+
+
+def _ring_window_moves(Jw_sb, sig_w, lf_w, rbits, beta, *, W):
+    """W unrolled sequential Metropolis decisions in one window (all f32):
+    decision k sees the in-window correction of flips 0..k-1 through the
+    sb-scaled base J block (ring partners are in other replica blocks)."""
+    new_rows, delta_rows = [], []
+    dE_w = jnp.zeros((1, rbits.shape[1]), jnp.float32)
+    acc_w = jnp.zeros((1, rbits.shape[1]), jnp.int32)
+    for k in range(W):
+        s_k = sig_w[k:k + 1, :]                       # [1, BT] int32
+        s_f = s_k.astype(jnp.float32)
+        dE = 2.0 * s_f * lf_w[k:k + 1, :]
+        p = jnp.exp(-beta * dE)
+        th = jnp.clip(
+            p * jnp.float32(4294967296.0) - jnp.float32(2147483648.0),
+            jnp.float32(-2147483648.0),
+            jnp.float32(2147483520.0)).astype(jnp.int32)
+        acc = (dE <= 0) | (rbits[k:k + 1, :] < th)
+        d_k = jnp.where(acc, -2.0 * s_f, 0.0)         # [1, BT] f32
+        new_rows.append(jnp.where(acc, -s_k, s_k))
+        delta_rows.append(d_k)
+        lf_w = lf_w + Jw_sb[:, k:k + 1] * d_k
+        dE_w = dE_w + jnp.where(acc, dE, 0.0)
+        acc_w = acc_w + acc.astype(jnp.int32)
+    return (jnp.concatenate(new_rows, axis=0),
+            jnp.concatenate(delta_rows, axis=0), dE_w, acc_w)
+
+
+def _ring_sweep_kernel(seed_ref, ns_ref, beta_ref, jb_ref, hph_ref,
+                       sigma_ref, lf_ref, E_ref, acc_ref,
+                       sigma_out, lf_out, E_out, acc_out,
+                       sig_s, lf_s, *, Nk, M, W, BT, flt, sb, c4):
+    """n_sweeps (dynamic) typewriter sweeps over the [NM, BT] composite:
+    windows of W sites inside one replica block; rank-W base commit to the
+    mover's block + c4*delta to the two ring-neighbor blocks' aligned rows."""
+    NM = Nk * M
+    seed_p = program_seed(seed_ref[0], pl.program_id(0))
+    pltpu.prng_seed(seed_p)
+    salt0 = seed_p * jnp.int32(1000003)
+    n_sweeps = ns_ref[0]
+    beta = beta_ref[0]
+    sbc = jnp.float32(sb)
+    c4c = jnp.float32(c4)
+    n_win = NM // W
+    mm_dt = jnp.float32 if flt else jnp.bfloat16
+
+    sig_s[:] = sigma_ref[:].astype(jnp.int32)
+    lf_s[:] = lf_ref[:]
+
+    def one_window(sw, w, carry):
+        E, acc = carry
+        k = (w * W) // Nk                     # replica block of this window
+        base_i = (w * W) % Nk                 # row offset inside the base
+        row0 = pl.multiple_of(w * W, W)
+        bi = pl.multiple_of(base_i, W)
+        Jw_sb = sbc * jb_ref[pl.ds(bi, W), pl.ds(bi, W)].astype(jnp.float32)
+        rbits = random_bits((W, BT), salt0 + sw * n_win + w)
+        new_rows, delta, dE_w, acc_w = _ring_window_moves(
+            Jw_sb, sig_s[pl.ds(row0, W), :], lf_s[pl.ds(row0, W), :],
+            rbits, beta, W=W)
+        sig_s[pl.ds(row0, W), :] = new_rows
+        # base commit: lf[replica k block] += sb * J[win, :]^T @ delta
+        upd = jax.lax.dot_general(
+            jb_ref[pl.ds(bi, W), :].astype(mm_dt), delta.astype(mm_dt),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        krow = pl.multiple_of(k * Nk, W)
+        lf_s[pl.ds(krow, Nk), :] = lf_s[pl.ds(krow, Nk), :] + sbc * upd
+        # ring commits: aligned rows of the +-1 replica blocks
+        up = pl.multiple_of(((k + 1) % M) * Nk + base_i, W)
+        dn = pl.multiple_of(((k + M - 1) % M) * Nk + base_i, W)
+        lf_s[pl.ds(up, W), :] = lf_s[pl.ds(up, W), :] + c4c * delta
+        lf_s[pl.ds(dn, W), :] = lf_s[pl.ds(dn, W), :] + c4c * delta
+        return E + dE_w, acc + acc_w
+
+    def one_sweep(sw, carry):
+        return jax.lax.fori_loop(0, n_win, partial(one_window, sw), carry)
+
+    E, acc = jax.lax.fori_loop(
+        0, n_sweeps, one_sweep, (E_ref[:], acc_ref[:]))
+    sigma_out[:] = sig_s[:].astype(jnp.int8)
+    lf_out[:] = lf_s[:]
+    E_out[:] = E
+    acc_out[:] = acc
+
+
+@partial(jax.jit, static_argnames=("Nk", "M", "W", "block_chains", "flt",
+                                   "sb", "c4"))
+def _pallas_ring_sweep(sigma, lfT, E, acc, Jb, hph, seed, n_sweeps, beta, *,
+                       Nk, M, W, block_chains, flt, sb, c4):
+    sigmaT = sigma.T
+    NM, B = sigmaT.shape
+    BT = block_chains
+    grid = (B // BT,)
+    kernel = partial(_ring_sweep_kernel, Nk=Nk, M=M, W=W, BT=BT, flt=flt,
+                     sb=sb, c4=c4)
+    row = pl.BlockSpec((1, BT), lambda j: (0, j), memory_space=pltpu.VMEM)
+    blk = pl.BlockSpec((NM, BT), lambda j: (0, j), memory_space=pltpu.VMEM)
+    sig_out, lf_out, E_out, acc_out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # seed
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # n_sweeps
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # beta
+            pl.BlockSpec((Nk, Nk), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),      # Jb
+            pl.BlockSpec((NM, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),      # hph
+            blk, blk, row, row,
+        ],
+        out_specs=[blk, blk, row, row],
+        out_shape=[
+            jax.ShapeDtypeStruct((NM, B), jnp.int8),
+            jax.ShapeDtypeStruct((NM, B), jnp.float32),
+            jax.ShapeDtypeStruct((1, B), jnp.float32),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((NM, BT), jnp.int32),            # sig_s
+            pltpu.VMEM((NM, BT), jnp.float32),          # lf_s
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_INTERPRET,
+    )(seed, n_sweeps, beta, Jb, hph, sigmaT, lfT,
+      E[None, :].astype(jnp.float32), acc[None, :])
+    return sig_out.T, lf_out, E_out[0], acc_out[0]
+
+
+class PallasRingSweeper:
+    """Reusable Metropolis sweep runner for GraphQuant composites; holds the
+    base J on device, threads the f32 physical lf across calls."""
+
+    def __init__(self, model, beta: float, *, window: int = 128,
+                 block_chains: int = 128):
+        spec = quant_ring_spec(model)
+        assert spec is not None, "model is not ring-replica eligible"
+        assert spec["Nk"] % window == 0
+        self.model = model
+        self.spec = spec
+        self.beta = jnp.asarray([beta], jnp.float32)
+        self.W = window
+        self.block_chains = block_chains
+
+    def lf_init(self, sigma):
+        """Physical composite local fields [NM, B] f32 (one jitted call)."""
+        return _ring_lf_init(self.model, sigma)
+
+    def __call__(self, sigma, E, acc, *, seed: int, n_sweeps: int, lfT=None):
+        """sigma [B, NM] int8, E [B] f32 physical. Returns
+        (sigma', E', acc', lfT') — pass lfT back for warm continuation."""
+        s = self.spec
+        if lfT is None:
+            lfT = self.lf_init(sigma)
+        sig, lfT, E, acc = _pallas_ring_sweep(
+            sigma, lfT, E, acc, s["Jb"], s["hph"],
+            jnp.asarray([seed], jnp.int32),
+            jnp.asarray([n_sweeps], jnp.int32), self.beta,
+            Nk=s["Nk"], M=s["M"], W=self.W,
+            block_chains=self.block_chains, flt=s["flt"], sb=s["sb"],
+            c4=s["c4"])
+        return sig, E, acc, lfT
+
+
+@jax.jit
+def _ring_lf_init(model, sigma):
+    """Composite physical lf via the model contract: delta_all = 2*s*lf."""
+    def one(s):
+        aux = model.init_aux(s)
+        return model.delta_all(s, aux) / (2.0 * s.astype(jnp.float32))
+    return jax.vmap(one)(sigma).T.astype(jnp.float32)

@@ -54,7 +54,12 @@ Three kernel variants share the race machinery and differ only in how the
 local-field table is produced each move:
 
 * integer-coupling LatticeEA (fields supported as a [N, 1] int32 column) —
-  lf from the lattice roll identity (as the sweep kernel);
+  lf from the lattice roll identity (as the sweep kernel). Lattices with
+  N <= _LATTICE_DENSE_MAX are transparently densified onto the dense MXU
+  variant below instead (same integer grid and scale, so the energy
+  bookkeeping is bit-identical): the matmul lf beats the ~14 VPU
+  roll/select passes there (measured 2.28e9 vs 5.97e8 virtual
+  iters*chains/s at beta=4, EA-3D N=512, B=1024, v5e);
 * integer FullyConnected (GraphSK, densify()'d sparse graphs, |J| <= 127,
   N <= 4096) — lf from one [NP, NP] x [NP, BT] bf16 MXU matmul per move
   (exact in f32 accumulation; integer fields supported). N is padded to a
@@ -143,12 +148,19 @@ def _rejfree_kernel(seed_ref, beta2s_ref, target_ref, jp_ref, jm_ref, h_ref,
     def local_fields(sig):
         lf = jnp.zeros((N, BT), jnp.int32) + h_ref[:]
         for d, s in enumerate(strides):
-            nb_p = jnp.where(wrap_hi[d],
-                             roll_up(sig, N - s * (L - 1)),
-                             roll_up(sig, s))
-            nb_m = jnp.where(wrap_lo[d],
-                             roll_up(sig, s * (L - 1)),
-                             roll_up(sig, N - s))
+            if d == 0:
+                # outermost axis: a cyclic roll of the FULL flattened array
+                # by +-s IS the periodic shift (i +- s mod N changes coord_0
+                # by +-1 mod L and nothing else) — no wrap select needed
+                nb_p = roll_up(sig, s)
+                nb_m = roll_up(sig, N - s)
+            else:
+                nb_p = jnp.where(wrap_hi[d],
+                                 roll_up(sig, N - s * (L - 1)),
+                                 roll_up(sig, s))
+                nb_m = jnp.where(wrap_lo[d],
+                                 roll_up(sig, s * (L - 1)),
+                                 roll_up(sig, N - s))
             lf = lf + jp_ref[:, d][:, None] * nb_p \
                     + jm_ref[:, d][:, None] * nb_m
         return lf
@@ -828,6 +840,12 @@ def rejfree_stream_run(Jhbm, hcol, beta2s, sigma, E, coord, Es, seed0,
 #: and stream buffers (128MB scoped limit); above it, the HBM-streamed
 #: variant takes over
 _DENSE_NP_MAX = 4096
+#: lattice -> dense crossover: below this N the MXU matmul lf (one
+#: [NP, NP] x [NP, BT] bf16 dot, ~0.2us at N=512) beats the ~14 VPU
+#: roll/select passes of the roll-identity lf; per-move cost is O(N^2/MXU)
+#: vs O(N * passes / VPU), crossing near N ~ 45 * (MXU/VPU rate) ~ 4k —
+#: kept at 2048 to stay clearly on the winning side (measured r3)
+_LATTICE_DENSE_MAX = 2048
 #: streamed-variant caps: int8 J in HBM <= 1 GB / f32 J in HBM <= 1 GB
 _STREAM_NP_MAX = 32768
 _STREAM_NP_MAX_F = 16384
@@ -838,6 +856,8 @@ _STREAM_W_F = 128
 #: id(J)-keyed memo for the dense eligibility host checks (avoids an O(N^2)
 #: device->host pull per bklMC/wtmMC call)
 _DENSE_OK_CACHE: dict = {}
+#: id(Jd)-keyed memo for small-lattice densification (host-side transform)
+_LATTICE_DENSE_CACHE: dict = {}
 
 
 def _dense_rejfree_ok(model) -> bool:
@@ -876,7 +896,8 @@ def pallas_rejfree_eligible(model, chains: int) -> bool:
                 and model.N >= 8)
     if isinstance(model, FullyConnected):
         return _dense_rejfree_ok(model)
-    return False
+    from .quant_pallas import quant_ring_eligible
+    return quant_ring_eligible(model, chains)
 
 
 class PallasRejectionFree:
@@ -903,13 +924,22 @@ class PallasRejectionFree:
         if isinstance(model, LatticeEA):
             assert jnp.issubdtype(model.Jd.dtype, jnp.integer)
             assert jnp.issubdtype(model.h.dtype, jnp.integer)
-            Jp, Jm = _build_dir_tables(model)
-            self.Jp, self.Jm = jnp.asarray(Jp), jnp.asarray(Jm)
-            self.hcol = jnp.asarray(np.asarray(model.h, np.int32)
-                                    .reshape(model.N, 1))
-            self.L, self.D = model.L, model.D
-            self.kind = "lattice"
-            return
+            md = self._lattice_densified(model)
+            if md is not None:
+                # small lattice: ride the MXU matmul-lf race kernel on the
+                # densified couplings (same integer grid/scale — densify()
+                # preserves both, models/dense.py:144-152 — so the int32
+                # energy bookkeeping is bit-identical); ~2x the roll-identity
+                # kernel at N=512 (the lf rolls dominated its move cost)
+                model = md
+            else:
+                Jp, Jm = _build_dir_tables(model)
+                self.Jp, self.Jm = jnp.asarray(Jp), jnp.asarray(Jm)
+                self.hcol = jnp.asarray(np.asarray(model.h, np.int32)
+                                        .reshape(model.N, 1))
+                self.L, self.D = model.L, model.D
+                self.kind = "lattice"
+                return
         assert isinstance(model, FullyConnected), type(model)
         assert _dense_rejfree_ok(model), \
             "dense rejfree needs integer |J|<=127 N<=32768 or float N<=16384"
@@ -938,6 +968,32 @@ class PallasRejectionFree:
         self.hcol = jnp.asarray(h)
         self.window = W
         self.kind = "stream"
+
+    @staticmethod
+    def _lattice_densified(model):
+        """Densified couplings for a small integer lattice (or None): the
+        MXU race variant wins below _LATTICE_DENSE_MAX. Cached by Jd
+        identity — densify() is a host-side O(N*2D) python loop."""
+        from ..models.dense import densify
+        from ..samplers.common import bound_cache_put
+
+        if model.N > _LATTICE_DENSE_MAX:
+            return None
+        key = id(model.Jd)
+        ent = _LATTICE_DENSE_CACHE.get(key)
+        if ent is None or ent[0] is not model.Jd:
+            try:
+                md = densify(model)
+            except AssertionError:
+                md = None
+            if md is not None and not (
+                    jnp.issubdtype(md.J.dtype, jnp.integer)
+                    and jnp.issubdtype(md.h.dtype, jnp.integer)
+                    and _dense_rejfree_ok(md)):
+                md = None
+            ent = (model.Jd, md)
+            bound_cache_put(_LATTICE_DENSE_CACHE, key, ent)
+        return ent[1]
 
     def run(self, sigma, E, coord, Es, seed, target, step, scale):
         """Whole hookless run (while_loop over kernel chunks, one jit).

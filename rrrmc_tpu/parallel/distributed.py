@@ -116,7 +116,10 @@ def sample_distributed(sampler, model, *args, chains: int, mesh: Mesh,
     state = kw.pop("state", None)
     if state is None:
         state = init_state_distributed(model, chains, seed, mesh, axis)
-    else:
+    elif not any(isinstance(x, jax.Array) and not x.is_fully_addressable
+                 for x in jax.tree.leaves(state)):
+        # host-local state: donate shards; an already-global state (e.g. the
+        # previous segment's output) passes through untouched
         state = shard_global(state, mesh, axis)
     return sampler(model, *args, chains=chains, state=state, **kw)
 

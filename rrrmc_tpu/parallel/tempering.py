@@ -354,9 +354,18 @@ def _ensemble_round(models, betas_f, n_moves, kernel, preps,
                  e_up[r] if r < T - 1 else st.E,
                  e_dn[r - 1] if r > 0 else st.E)
         # aux caches are model-specific; after a swap they must be re-derived
-        # under this slot's Hamiltonian (branch-free: recompute every round,
-        # one O(energy) pass — same order as the cross-energy evaluation)
-        aux = jax.vmap(models[r].init_aux)(sigma)
+        # under this slot's Hamiltonian. The recompute is skipped entirely
+        # (lax.cond) on rounds where NO chain of this slot swapped — the
+        # common case deep in a ladder at low acceptance
+        swapped = jnp.zeros((B,), bool)
+        if r < T - 1:
+            swapped = swapped | acc[r]
+        if r > 0:
+            swapped = swapped | acc[r - 1]
+        aux = jax.lax.cond(
+            jnp.any(swapped),
+            lambda s, _a, r=r: jax.vmap(models[r].init_aux)(s),
+            lambda _s, a: a, sigma, st.aux)
         new_slots.append(MCState(sigma=sigma, aux=aux, E=E, key=st.key,
                                  accepted=st.accepted))
         new_walker.append(pick(r, state.walker[r],

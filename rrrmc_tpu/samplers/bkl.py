@@ -141,17 +141,23 @@ def _rejfree_mc(model, beta: float, mode: str, target, step, chains: int,
     `accepted` counts applied flips (kernel acc output); the per-chain
     summed z/N diagnostic lands in samplers.common.LAST_ROUTE."""
     import jax.numpy as jnp
+    from ..ops.quant_pallas import PallasRingRejFree, quant_ring_eligible
     from ..ops.rejfree_pallas import PallasRejectionFree
     from .common import bound_cache_put, init_aux_batch, set_route
 
     assert chains % block_chains == 0, (chains, block_chains)
-    Jid = model.Jd if hasattr(model, "Jd") else model.J
-    key = (id(Jid), float(beta), mode, chunk_moves, block_chains)
+    ring = quant_ring_eligible(model, chains)
+    if ring:
+        Jid = getattr(model.resid_m.base, "J", model.resid_m.base)
+        cls = PallasRingRejFree
+    else:
+        Jid = model.Jd if hasattr(model, "Jd") else model.J
+        cls = PallasRejectionFree
+    key = (id(Jid), float(beta), mode, chunk_moves, block_chains, ring)
     ent = _REJFREE_CACHE.get(key)
     if ent is None or ent[0] is not Jid:
-        ent = (Jid, PallasRejectionFree(
-            model, beta, mode, block_chains=block_chains,
-            chunk_moves=chunk_moves))
+        ent = (Jid, cls(model, beta, mode, block_chains=block_chains,
+                        chunk_moves=chunk_moves))
         bound_cache_put(_REJFREE_CACHE, key, ent)
     rf = ent[1]
     wtm = mode == "wtm"

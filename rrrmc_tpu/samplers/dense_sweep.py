@@ -208,6 +208,57 @@ def sweepMC_dense(model: FullyConnected, beta: float, sweeps: int, *,
     return series_to_chain_major(Es), state
 
 
+#: cached PallasRingSweeper instances (ctor builds the base J tables)
+_RING_SWEEP_CACHE: dict = {}
+
+
+def sweepMC_quant(model, beta: float, sweeps: int, *, step: int = 1,
+                  chains: int = 1, seed: int = DEFAULT_SEED, C0=None,
+                  state: Optional[MCState] = None):
+    """Sequential Metropolis sweeps on a GraphQuant composite via the
+    ring-replica kernel (ops/quant_pallas.py): the Metropolis engine of the
+    paper's QIsing workload (/root/reference/scripts/scripts.jl:766-863) at
+    MXU speed. One sweep = Nk*M attempted flips per chain; energies f32
+    physical. Returns (Es [chains, sweeps // step], final MCState);
+    `accepted` counts accepted flips. chains % 128 == 0.
+
+    Kernel-only (no XLA fallback): eligibility = quant_ring_spec(model)
+    (FullyConnected / densifiable base, Nk % 128 == 0, M > 2)."""
+    from ..ops.quant_pallas import PallasRingSweeper
+    from .common import bound_cache_put, init_aux_batch, set_route
+
+    if state is None:
+        state = init_state(model, chains, seed, C0)
+    key = (id(model.resid_m.base), float(beta))
+    ent = _RING_SWEEP_CACHE.get(key)
+    if ent is None or ent[0] is not model.resid_m.base:
+        ent = (model.resid_m.base, PallasRingSweeper(model, float(beta)))
+        bound_cache_put(_RING_SWEEP_CACHE, key, ent)
+    sw = ent[1]
+    sigma = state.sigma
+    E = state.E.astype(jnp.float32)
+    acc = state.accepted
+    lfT = None
+    n_ckpt = sweeps // step
+    Es = []
+    for c in range(n_ckpt):
+        sigma, E, acc, lfT = sw(sigma, E, acc,
+                                seed=(seed * 1000003 + c) % (2 ** 31),
+                                n_sweeps=step, lfT=lfT)
+        Es.append(E)
+    if sweeps % step:
+        sigma, E, acc, lfT = sw(sigma, E, acc,
+                                seed=(seed * 1000003 + n_ckpt) % (2 ** 31),
+                                n_sweeps=sweeps % step, lfT=lfT)
+    set_route("pallas-ring-sweep")
+    E_series = (jnp.stack(Es) if Es
+                else jnp.zeros((0, sigma.shape[0]), jnp.float32))
+    aux = init_aux_batch(model, sigma)
+    state = MCState(sigma=sigma, aux=aux, E=E.astype(state.E.dtype),
+                    key=state.key, accepted=acc)
+    return series_to_chain_major(E_series), state
+
+
 def _sweep_dense_pallas(model, beta, sweeps, step, seed, state):
     """Checkpoint-granular driver over the Pallas dense kernel: one dispatch
     per checkpoint (`step` sweeps stay on-chip per dispatch). The sweeper is

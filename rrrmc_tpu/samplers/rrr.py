@@ -95,10 +95,20 @@ def rrrMC(model: Model, beta: float, iters: int, *, step: int = 1,
     if state is None:
         state = init_state(model, chains, seed, C0)
     if (hook is None and observer is None and backend != "xla"
-            and model.inner is None and iters <= 10 ** 9):
-        from ..ops.rejfree_pallas import pallas_rejfree_eligible
-        if backend == "pallas" or (jax.default_backend() != "cpu"
-                                   and pallas_rejfree_eligible(model, chains)):
+            and iters <= 10 ** 9):
+        if model.inner is None:
+            from ..ops.rejfree_pallas import pallas_rejfree_eligible
+            ok = (backend == "pallas"
+                  or (jax.default_backend() != "cpu"
+                      and pallas_rejfree_eligible(model, chains)))
+        else:
+            # GraphQuant composites: the ring-replica kernel runs the
+            # SingleGraph rrr law on the flat composite (same stationary
+            # distribution as the Double path; ops/quant_pallas.py docstring)
+            from ..ops.quant_pallas import quant_ring_eligible
+            ok = quant_ring_eligible(model, chains) and (
+                backend == "pallas" or jax.default_backend() != "cpu")
+        if ok:
             from .bkl import _rejfree_mc
             return _rejfree_mc(model, float(beta), "rrr", iters, step,
                                chains, seed, state, iters // step)

@@ -72,6 +72,111 @@ def color_masks_dense(J: np.ndarray) -> jnp.ndarray:
     return jnp.asarray(np.stack([colors == c for c in range(ncol)]))
 
 
+def composite_masks(model):
+    """[C, N_composite] independent-set masks for replica composites
+    (Quant/RE/LE/TLE wrappers over a SPARSE Pairwise base), or None.
+
+    Validity: the wrapper terms couple only same-site replica pairs —
+    Trotter ring (QT.jl:105-108), RE star (RE.jl:70-104), LE center-replica
+    star (LE.jl:55-84) — or base-edge pairs (the TLE 4-spin term,
+    TLE.jl:17-56). A mask = (one replica slot) x (one base color class)
+    therefore contains no interacting pair: same-slot pairs are separated by
+    the base coloring, same-site pairs by the slot split, and TLE's 4-spin
+    (i, j) terms by both. Center blocks (LE/TLE offset slots) get their own
+    per-color masks. Dense bases (SK) have no usable coloring -> None."""
+    from ..models.composite import Double
+    from ..models.replicas import (LEModel, QuantModel, Replicated, REModel,
+                                   TLEModel)
+
+    if not isinstance(model, (QuantModel, REModel, LEModel, TLEModel)):
+        return None
+    assert isinstance(model, Double)
+    resid = model.resid_m
+    if not isinstance(resid, Replicated):
+        return None
+    base = resid.base
+    if not isinstance(base, Pairwise):
+        return None
+    neigh = np.asarray(base.neigh)
+    colors = greedy_coloring(neigh, base.N)
+    ncol = int(colors.max()) + 1
+    if ncol > 32:          # dense-ish base: coloring degenerates
+        return None
+    Nk, n_slots = resid.Nk, resid.n_slots
+    masks = np.zeros((ncol * n_slots, Nk * n_slots), dtype=bool)
+    for s in range(n_slots):          # centers (offset blocks) + replicas
+        for c in range(ncol):
+            masks[s * ncol + c, s * Nk:(s + 1) * Nk] = colors == c
+    return jnp.asarray(masks)
+
+
+#: mask cache: greedy coloring is host-side O(N*K) python — once per model
+_CMASK_CACHE: dict = {}
+
+
+def _cached_composite_masks(model):
+    from ..models.replicas import LEModel, QuantModel, REModel, TLEModel
+
+    if not isinstance(model, (QuantModel, REModel, LEModel, TLEModel)):
+        return None
+    from .common import bound_cache_put
+
+    base = getattr(model.resid_m, "base", None)
+    anchor = getattr(base, "neigh", None)
+    if anchor is None:
+        return None
+    key = (id(anchor), type(model).__name__, model.N)
+    ent = _CMASK_CACHE.get(key)
+    if ent is None or ent[0] is not anchor:
+        ent = (anchor, composite_masks(model))
+        bound_cache_put(_CMASK_CACHE, key, ent)
+    return ent[1]
+
+
+def _sweep_once_composite(model, beta, masks, sigma, aux, E, key):
+    """One full sweep over a replica composite: per color-mask step, one
+    fused delta_all pass (PHYSICAL energies — the Double contract) decides
+    all mask members at once, then the aux cache is re-derived. Same
+    stationary law as single-site Metropolis on the composite."""
+    ft = ftype()
+
+    def color_step(carry, mask):
+        sigma, aux, E, key = carry
+        key, ku = jax.random.split(key)
+        dE = model.delta_all(sigma, aux)          # physical
+        x = -beta * dE
+        u = jax.random.uniform(ku, (model.N,), ft)
+        acc = mask & ((x >= 0) | (u < jnp.exp(jnp.minimum(x, 0.0))))
+        sigma = jnp.where(acc, -sigma, sigma)
+        E = E + jnp.sum(jnp.where(acc, dE, jnp.zeros_like(dE)),
+                        dtype=E.dtype)
+        aux = model.init_aux(sigma)
+        return (sigma, aux, E, key), None
+
+    (sigma, aux, E, key), _ = jax.lax.scan(
+        color_step, (sigma, aux, E, key), masks)
+    return sigma, aux, E, key
+
+
+@partial(jax.jit, static_argnames=("n_checkpoints", "sweeps_per_checkpoint"))
+def _run_sweepmc_composite(model, state: MCState, beta, masks,
+                           n_checkpoints: int, sweeps_per_checkpoint: int):
+    batched = jax.vmap(partial(_sweep_once_composite, model, beta, masks))
+
+    def one_sweep(s: MCState, _):
+        sigma, aux, E, key = batched(s.sigma, s.aux, s.E, s.key)
+        return MCState(sigma=sigma, aux=aux, E=E, key=key,
+                       accepted=s.accepted), None
+
+    def checkpoint(s: MCState, _):
+        s, _ = jax.lax.scan(one_sweep, s, None, length=sweeps_per_checkpoint)
+        return s, s.E.astype(ftype())              # already physical
+
+    state, series = jax.lax.scan(checkpoint, state, None,
+                                 length=n_checkpoints)
+    return state, series
+
+
 def _sweep_once(model: Pairwise, beta, masks, sigma, aux, E, key):
     """One full sweep: N attempted flips (all color classes), single chain."""
     ncol = masks.shape[0]
@@ -170,6 +275,16 @@ def sweepMC(model: Pairwise, beta: float, sweeps: int, *, step: int = 1,
     else the delayed-update sequential scan (true dense models)."""
     from ..models.dense import FullyConnected
 
+    cmasks = _cached_composite_masks(model)
+    if cmasks is not None:
+        # Quant/RE/LE/TLE wrapper over a sparse Pairwise base: (slot x base
+        # color) product masks; ~N / n_masks moves per fused delta_all pass
+        # vs one move per pass on the single-move path
+        if state is None:
+            state = init_state(model, chains, seed, C0)
+        state, series = _run_sweepmc_composite(model, state, float(beta),
+                                               cmasks, sweeps // step, step)
+        return series_to_chain_major(series), state
     if isinstance(model, FullyConnected):
         from .dense_sweep import (sweepMC_dense, _pallas_dense_eligible,
                                   _model_meta)

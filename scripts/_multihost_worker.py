@@ -1,0 +1,99 @@
+"""Subprocess worker for scripts/multihost_eff.py: joins a P-process CPU
+distributed runtime (2 virtual devices each), pins itself to one core (so P
+processes on one machine emulate P single-core hosts without thread
+oversubscription), runs the weak-scaling workloads, and writes process 0's
+measured rates to JSON.
+
+Workloads (per process, constant — weak scaling):
+  * chains: chain-sharded sweepMC, CHAINS_PER_DEV chains per device;
+  * pt: parallel tempering with the temperature ladder sharded over all
+    devices (2 rungs per process; swaps are cross-process collectives).
+"""
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+CHAINS_PER_DEV = 16
+N_SWEEPS = 60
+PT_ROUNDS = 4
+PT_SWEEPS_PER_ROUND = 25   # amortizes the per-round swap collective (the
+                           # production regime: swap attempts every O(10)
+                           # sweeps, not every move)
+
+
+def main():
+    proc_id = int(sys.argv[1])
+    nprocs = int(sys.argv[2])
+    port = sys.argv[3]
+    outfile = sys.argv[4]
+
+    try:
+        os.sched_setaffinity(0, {proc_id % os.cpu_count()})
+    except OSError:
+        pass
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
+    import numpy as np
+    import rrrmc_tpu as rt
+    from rrrmc_tpu.parallel import distributed as dist
+    from rrrmc_tpu.parallel.tempering import parallel_tempering
+
+    if nprocs > 1:
+        dist.initialize(coordinator_address=f"127.0.0.1:{port}",
+                        num_processes=nprocs, process_id=proc_id)
+    n_dev = jax.device_count()
+    assert n_dev == 2 * nprocs, (n_dev, nprocs)
+
+    X = rt.GraphEA(6, 3, (-1, 1), seed=3)        # N = 216
+    chains = CHAINS_PER_DEV * n_dev
+
+    # --- chain-sharded sweeps (embarrassingly parallel SPMD) ---
+    mesh = dist.global_mesh()
+    _, st = dist.sample_distributed(rt.sweepMC, X, 1.5, 5, step=5,
+                                    chains=chains, mesh=mesh, seed=5,
+                                    backend="xla")
+    dist.fetch_global(st.E, mesh)                # warm + barrier
+    t0 = time.time()
+    _, st = dist.sample_distributed(rt.sweepMC, X, 1.5, N_SWEEPS,
+                                    step=N_SWEEPS, chains=chains, mesh=mesh,
+                                    seed=6, state=st, backend="xla")
+    dist.fetch_global(st.E, mesh)
+    dt = time.time() - t0
+    chains_rate = chains * N_SWEEPS * X.N / dt   # attempted flips/s global
+
+    # --- parallel tempering, ladder sharded over every device ---
+    mesh_t = dist.global_mesh({"temp": n_dev})
+    betas = np.linspace(0.5, 2.0, n_dev)
+    _, _, _ = parallel_tempering(X, betas, 2,
+                                 sweeps_per_round=PT_SWEEPS_PER_ROUND,
+                                 chains=CHAINS_PER_DEV, seed=7, mesh=mesh_t,
+                                 axis="temp")
+    t0 = time.time()
+    EsP, ranks, _ = parallel_tempering(X, betas, PT_ROUNDS,
+                                       sweeps_per_round=PT_SWEEPS_PER_ROUND,
+                                       chains=CHAINS_PER_DEV, seed=8,
+                                       mesh=mesh_t, axis="temp")
+    dist.fetch_global(ranks, mesh_t)
+    dtp = time.time() - t0
+    pt_rate = (n_dev * CHAINS_PER_DEV * PT_ROUNDS * PT_SWEEPS_PER_ROUND
+               * X.N / dtp)
+
+    if proc_id == 0:
+        with open(outfile, "w") as f:
+            json.dump({"nprocs": nprocs, "devices": n_dev,
+                       "chains": chains,
+                       "chains_flips_per_s": chains_rate,
+                       "pt_rungs": n_dev,
+                       "pt_flips_per_s": pt_rate}, f)
+
+
+if __name__ == "__main__":
+    main()

@@ -27,7 +27,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import rrrmc_tpu as rt  # noqa: E402
-from rrrmc_tpu.experiments import equal_wallclock_factors, runtest  # noqa: E402
+from rrrmc_tpu.experiments import runtest  # noqa: E402,F401
 
 
 @jax.jit
@@ -210,6 +210,74 @@ def bench_rejfree(mode):
             unit: iters * B / dt}
 
 
+def _probe_scaled(call, probe_n, target_s=8.0, cap=10_000.0):
+    """Probe-calibrate a state-threaded sampler call so the measured
+    dispatch lasts ~target_s (remote relay dies past ~60s/dispatch).
+    call(n, state_or_None) -> state. Returns (n, dt, state)."""
+    st = call(probe_n, None)
+    sync(st.E)
+    t0 = time.time()
+    st = call(probe_n, st)
+    sync(st.E)
+    dt = max(time.time() - t0, 1e-3)
+    n = int(probe_n * max(1.0, min(target_s / dt, cap)))
+    t0 = time.time()
+    st = call(n, st)
+    sync(st.E)
+    return n, time.time() - t0, st
+
+
+def bench_rejfree_stream(float_j):
+    """HBM-streamed rejection-free BKL: densified RRG N=1e4 (the
+    reference's flagship workload, scripts.jl:34-37) or float SKNormal
+    N=4096 (the DeltaECacheCont regime). Probe-scaled dispatch; reports
+    virtual iters*chains/s at beta=4."""
+    B, beta = 128, 4.0
+    if float_j:
+        X = rt.GraphSKNormal(4096, seed=4)
+        name = "rejfree_bkl_sknormal_stream"
+    else:
+        X = rt.densify(rt.GraphRRG(10_000, 3, (-1, 1), seed=7))
+        name = "rejfree_bkl_rrg1e4_stream"
+
+    def call(n, st):
+        kwa = {"state": st} if st is not None else {"seed": 3}
+        _, st2 = rt.bklMC(X, beta, iters=int(n), step=int(n), chains=B,
+                          backend="pallas", **kwa)
+        return st2
+
+    n, dt, st = _probe_scaled(call, 500_000)
+    E_re = _recompute_E(X, st.sigma)
+    if float_j:
+        assert np.allclose(sync(E_re).astype(np.float64),
+                           sync(st.E).astype(np.float64), atol=0.2)
+    else:
+        assert int(np.max(np.abs(sync(E_re) - sync(st.E)))) == 0
+    from rrrmc_tpu.samplers.common import LAST_ROUTE
+    return {"kernel": name, "N": X.N, "chains": B, "beta": beta,
+            "backend": LAST_ROUTE.get("backend"),
+            "virtual_iters_chains_per_s": n * B / dt,
+            "moves_per_chain": float(sync(st.accepted).mean())}
+
+
+def bench_rrr_stream():
+    """Streamed rrr (two J passes per move) on densified RRG N=1e4."""
+    B, beta = 128, 2.0
+    X = rt.densify(rt.GraphRRG(10_000, 3, (-1, 1), seed=7))
+
+    def call(n, st):
+        kwa = {"state": st} if st is not None else {"seed": 3}
+        _, st2 = rt.rrrMC(X, beta, iters=int(n), step=int(n), chains=B,
+                          backend="pallas", **kwa)
+        return st2
+
+    n, dt, st = _probe_scaled(call, 5_000)
+    E_re = _recompute_E(X, st.sigma)
+    assert int(np.max(np.abs(sync(E_re) - sync(st.E)))) == 0
+    return {"kernel": "rrr_rrg1e4_stream", "N": X.N, "chains": B,
+            "beta": beta, "moves_chains_per_s": n * B / dt}
+
+
 def bench_eo(dense):
     """EO rank-select kernel: moves*chains/s (1 move = 1 iteration; chains
     advance in lockstep so a fresh run per rep is representative)."""
@@ -240,8 +308,9 @@ def kernels_section(done=(), checkpoint=None):
     names = ["ea3d_checkerboard_sweep", "sk_dense_vmem",
              "sk_dense_hbm_streamed", "rrg_densified_hbm",
              "single_site_metropolis", "rejfree_bkl", "rejfree_wtm",
-             "rejfree_bkl_dense_sk", "rrr_ea3d", "rrr_dense_sk",
-             "eo_ea3d", "eo_dense_sk"]
+             "rejfree_bkl_dense_sk", "rejfree_bkl_rrg1e4_stream",
+             "rejfree_bkl_sknormal_stream", "rrr_rrg1e4_stream",
+             "rrr_ea3d", "rrr_dense_sk", "eo_ea3d", "eo_dense_sk"]
     for name, fn in zip(names, (bench_ea3d_sweep,
                lambda: bench_dense("sk_dense_vmem", rt.GraphSK(1024, seed=4)),
                lambda: bench_dense("sk_dense_hbm_streamed",
@@ -254,6 +323,9 @@ def kernels_section(done=(), checkpoint=None):
                lambda: bench_rejfree("bkl"),
                lambda: bench_rejfree("wtm"),
                bench_rejfree_dense,
+               lambda: bench_rejfree_stream(False),
+               lambda: bench_rejfree_stream(True),
+               bench_rrr_stream,
                lambda: bench_rrr(False),
                lambda: bench_rrr(True),
                lambda: bench_eo(False),
@@ -269,23 +341,24 @@ def kernels_section(done=(), checkpoint=None):
 
 
 def factors_section():
-    N, chains = 10_000, 256
+    """Equal-wallclock factors FROM EQUILIBRIUM, every sampler on its best
+    kernel backend (experiments.equilibrated_factors) — the regime the
+    reference's table characterizes (scripts.jl:34-37,163-166: Met 3.7-4.5x,
+    BKL 95-6083x, WTM 53-3375x at beta 2/3/4 on RRG N=1e4)."""
+    from rrrmc_tpu.experiments import equilibrated_factors
+
+    N, chains = 10_000, 128
     out = []
     for name, builder in [
             ("rrg_pmJ", lambda: rt.GraphRRG(N, 3, (-1, 1), seed=167)),
             ("rrg_normal", lambda: rt.GraphRRGNormal(N, 3, seed=167))]:
         X = builder()
+        Xd = rt.densify(X)
         for beta in (2.0, 3.0, 4.0):
-            f = equal_wallclock_factors(X, beta, iters=20_000, chains=chains)
-            row = {"graph": name, "N": N, "beta": beta, "chains": chains,
-                   "factors_vs_rrr": f}
-            print(json.dumps(row))
+            row = equilibrated_factors(X, beta, chains=chains, densified=Xd)
+            row["graph"] = name
+            print(json.dumps(row), flush=True)
             out.append(row)
-        r = runtest(rt.standardMC, X, 2.0, 20_000, chains=chains)
-        row = {"graph": name, "standardMC_flips_per_s": r["flips_per_s"],
-               "accept_rate": r["accept_rate"], "E_per_spin": r["E_per_spin"]}
-        print(json.dumps(row))
-        out.append(row)
     return out
 
 

@@ -1,0 +1,74 @@
+"""Multi-host weak-scaling efficiency artifact (MULTIHOST_eff.json).
+
+The reference has no distributed mode at all (SURVEY.md §2.4); the TPU
+framework's multi-host runtime (rrrmc_tpu/parallel/distributed.py) shards
+chains / temperature rungs over a global mesh of P processes. This script
+MEASURES weak-scaling efficiency on P in {1, 2} spawned CPU processes, each
+pinned to its own core with 2 virtual devices (the process-topology analog
+of P single-chip hosts; this box has 2 cores, so P=2 is the largest honest
+emulation — the methodology is identical on a real pod, see docs/tpu.md
+"Multi-host runbook"):
+
+  * chains workload: chain-sharded sweepMC, constant chains/device —
+    embarrassingly parallel, zero cross-process collectives in the run;
+  * pt workload: parallel tempering with the ladder sharded across ALL
+    devices (2 rungs/process) — every swap round is a cross-process
+    collective, the worst case for scaling.
+
+efficiency(P) = rate(P) / (P * rate(1)), aggregated attempted flips/s.
+
+Usage: python scripts/multihost_eff.py [out.json]
+"""
+
+import json
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+
+def run_p(nprocs: int) -> dict:
+    port = 29531 + nprocs
+    out = Path(f"/tmp/multihost_eff_p{nprocs}.json")
+    if out.exists():
+        out.unlink()
+    worker = Path(__file__).parent / "_multihost_worker.py"
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(i), str(nprocs), str(port),
+         str(out)])
+        for i in range(nprocs)]
+    deadline = time.time() + 900
+    for p in procs:
+        p.wait(timeout=max(1, deadline - time.time()))
+        assert p.returncode == 0, f"worker failed (P={nprocs})"
+    with open(out) as f:
+        return json.load(f)
+
+
+def main():
+    path = sys.argv[1] if len(sys.argv) > 1 else "MULTIHOST_eff.json"
+    rows = {}
+    for nprocs in (1, 2):
+        r = run_p(nprocs)
+        rows[str(nprocs)] = r
+        print(json.dumps(r), flush=True)
+    base = rows["1"]
+    res = {"method": "weak scaling, P spawned CPU processes x 2 virtual "
+                     "devices, 1 pinned core each; constant work per device",
+           "rows": rows,
+           "efficiency": {}}
+    for p_str, r in rows.items():
+        p = int(p_str)
+        res["efficiency"][p_str] = {
+            "chains": r["chains_flips_per_s"]
+            / (p * base["chains_flips_per_s"]),
+            "pt": r["pt_flips_per_s"] / (p * base["pt_flips_per_s"]),
+        }
+    print(json.dumps(res["efficiency"]))
+    with open(path, "w") as f:
+        json.dump(res, f, indent=1)
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

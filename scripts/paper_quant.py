@@ -1,19 +1,23 @@
 """Reproduce the reference paper's quantum / robust-ensemble experiments
 (test_QIsing /root/reference/scripts/scripts.jl:766-863, test_REIsing
-:866-963): equal-wallclock comparison of standardMC vs rrrMC on
+:866-963): equal-wallclock comparison of Metropolis vs rrrMC on
 
   * GraphQSKT(N=1024, M=16, Gamma=0.3, beta=2.0) tracking Qenergy, and
-  * GraphSKRE(N=1024, M=5,  gamma=2.0, beta=0.4) tracking REenergies,
+  * GraphSKRE(N=1024, M=5, beta=0.4) tracking REenergies at
+    gamma in {2, 3, 4, 5} (the reference's full grid, scripts.jl:878).
 
-the workloads where the reference measures rrrMC's advantage (met_factor =
-15.74 and 20.8: Metropolis completes that many iterations per rrr iteration
-in equal time on the author's CPU, yet relaxes slower per wall-second).
+QIsing runs BOTH engines on kernels (chains=1024): Metropolis on the
+ring-replica sweep kernel (rt.sweepMC_quant) and rrr on the ring-replica
+race kernel (rt.rrrMC backend="pallas"), plus the XLA single-move engines at
+the round-2 operating point (64 chains) as the baseline the kernel speedup
+is measured against. The headline metric is WALL-CLOCK TO A TARGET QENERGY:
+for each engine, the first measured wall second at which the chain-mean
+Qenergy reaches the target (default: the level the XLA rrr engine reaches
+at its budget end).
 
-Method on this hardware: (1) calibrate each sampler's warm per-iteration
-wall rate on the actual model; (2) give both samplers the SAME wall budget
-(iters = rate * t_limit), recording observables on a common checkpoint grid;
-(3) emit measured met_factor (= rate_met / rate_rrr) next to the reference's
-CPU factor, plus the observable trajectories vs nominal mct and vs seconds.
+REIsing has no kernel route (the RE star term is not pairwise); it runs the
+XLA engines across the gamma grid and reports the measured met_factor next
+to the reference's CPU factors 20.8/24.6/13.9/6.4.
 
 Usage: python scripts/paper_quant.py [t_limit_s] [chains] [which]
    which in {qising, reising, both}. Writes paper_quant_results.json.
@@ -26,108 +30,188 @@ import time
 import jax
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/rrrmc_jit_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import rrrmc_tpu as rt  # noqa: E402
 
 
-def qenergy_obs(model, sigma, aux, E):
-    return model.Qenergy(sigma)
+@jax.jit
+def _qenergy_batch(model, sigma):
+    return jax.vmap(model.Qenergy)(sigma)
 
 
-def re_obs(model, sigma, aux, E):
-    """Mean replica energy per spin + composite energy per spin."""
+@jax.jit
+def _re_obs_batch(model, sigma):
+    """[B, 2]: mean replica energy per spin, composite energy per spin."""
     import jax.numpy as jnp
-    return jnp.stack([jnp.mean(model.REenergies(sigma)) / model.Nk,
-                      model.to_physical(E) / model.N])
+
+    def one(s):
+        return jnp.stack([jnp.mean(model.REenergies(s)) / model.Nk,
+                          model.to_physical(model.energy(s)) / model.N])
+    return jax.vmap(one)(sigma)
 
 
-def calibrate(sampler, model, beta, obs, *, chains, seed, iters=400,
-              step=100):
-    """Warm per-iteration wall rate (iters/s) of `sampler` on `model`."""
-    kw = dict(step=step, chains=chains, seed=seed, observer=obs)
-    _, state = sampler(model, beta, iters, **kw)          # compile
-    np.asarray(state.E)
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.time()
-        _, state = sampler(model, beta, iters, state=state, **kw)
-        np.asarray(state.E)
-        best = min(best, time.time() - t0)
-    return iters / best
+# ---------------------------------------------------------------------------
+# Engines: uniform (n, state) -> (n_done, state) steppers
+# ---------------------------------------------------------------------------
 
 
-def run_budgeted(sampler, model, beta, obs, *, rate, t_limit, chains, seed,
-                 n_ckpt=120, segments=8):
-    """Run `rate * t_limit` iterations in `segments` state-threaded calls
-    (the remote TPU relay is unreliable past ~60s per dispatch — a 90s
-    single-dispatch run crashed the worker; short dispatches are also what a
-    production annealing loop looks like)."""
-    iters = max(n_ckpt, int(rate * t_limit))
-    step = max(1, iters // n_ckpt)
-    per_seg = (n_ckpt // segments) * step
+def eng_met_kernel(model, beta, chains, seed):
+    def run(n, state):
+        sweeps = max(1, int(round(n / model.N)))
+        kw = {"state": state} if state is not None else {"seed": seed}
+        _, st = rt.sweepMC_quant(model, beta, sweeps, step=sweeps,
+                                 chains=chains, **kw)
+        return sweeps * model.N, st
+    return run
+
+
+def eng_rrr_kernel(model, beta, chains, seed):
+    def run(n, state):
+        kw = {"state": state} if state is not None else {"seed": seed}
+        _, st = rt.rrrMC(model, beta, int(n), step=int(n), chains=chains,
+                         backend="pallas", **kw)
+        return int(n), st
+    return run
+
+
+def eng_xla(sampler, model, beta, chains, seed):
+    def run(n, state):
+        kw = {"state": state} if state is not None else {"seed": seed}
+        _, st = sampler(model, beta, int(n), step=int(n), chains=chains,
+                        backend="xla", **kw)
+        return int(n), st
+    return run
+
+
+def run_engine(run, model, obs_batch, *, t_limit, probe_n,
+               seg_target_s=3.0, max_segments=200):
+    """Drive an engine in state-threaded segments for ~t_limit seconds of
+    measured sampler wall-clock (observable evaluation excluded), recording
+    the chain-mean observable trajectory vs wall-clock and nominal iters."""
+    # probe: compile + calibrate segment size
+    n_done, st = run(probe_n, None)
+    np.asarray(st.E)
     t0 = time.time()
-    parts, state = [], None
-    for g in range(segments):
-        series, state = sampler(model, beta, per_seg, step=step,
-                                chains=chains, seed=seed + g, state=state,
-                                observer=obs)
-        np.asarray(state.E)
-        parts.append(np.asarray(series))
-    iters = per_seg * segments
-    wall = time.time() - t0
-    s = np.concatenate(parts, axis=1).astype(np.float64)  # [chains, n_ckpt, ...]
-    mean = s.mean(axis=0)
-    sem = s.std(axis=0) / np.sqrt(s.shape[0])
-    return {"iters": iters, "step": step, "wall_s": wall,
-            "mct": (np.arange(1, n_ckpt + 1) * step).tolist(),
-            "obs_mean": mean.tolist(), "obs_sem": sem.tolist()}
+    n_done, st = run(probe_n, st)
+    np.asarray(st.E)
+    dt = max(time.time() - t0, 1e-3)
+    n_seg = int(probe_n * max(1.0, min(seg_target_s / dt, 10_000.0)))
+    rate = n_done / dt
+    traj, wall, iters = [], 0.0, 0
+    st = None
+    for _ in range(max_segments):
+        t0 = time.time()
+        n_done, st = run(n_seg, st)
+        np.asarray(st.E)
+        wall += time.time() - t0
+        iters += n_done
+        q = np.asarray(obs_batch(model, st.sigma), np.float64)
+        traj.append({"iters": iters, "wall_s": wall,
+                     "obs_mean": q.mean(axis=0).tolist(),
+                     "obs_sem": (q.std(axis=0)
+                                 / np.sqrt(q.shape[0])).tolist()})
+        if wall >= t_limit:
+            break
+    return {"rate_iters_per_s": iters / wall, "iters": iters,
+            "wall_s": wall, "traj": traj}
 
 
-def experiment(name, model, beta, obs, *, t_limit, chains, seed,
-               ref_factor):
-    print(f"=== {name} (budget {t_limit}s x2, chains={chains}) ===")
-    rate_met = calibrate(rt.standardMC, model, beta, obs, chains=chains,
-                         seed=seed)
-    rate_rrr = calibrate(rt.rrrMC, model, beta, obs, chains=chains,
-                         seed=seed + 1)
-    factor = rate_met / rate_rrr
-    print(f"rates: met {rate_met:.1f} it/s, rrr {rate_rrr:.1f} it/s; "
-          f"measured met_factor {factor:.2f} (reference CPU {ref_factor})")
-    met = run_budgeted(rt.standardMC, model, beta, obs, rate=rate_met,
-                       t_limit=t_limit, chains=chains, seed=seed + 2)
-    rrr = run_budgeted(rt.rrrMC, model, beta, obs, rate=rate_rrr,
-                       t_limit=t_limit, chains=chains, seed=seed + 3)
-    for tag, r in (("met", met), ("rrr", rrr)):
-        o = np.asarray(r["obs_mean"])
-        first = o[0] if o.ndim == 1 else o[0].tolist()
-        last = o[-1] if o.ndim == 1 else o[-1].tolist()
-        print(f"  {tag}: {r['iters']} iters in {r['wall_s']:.1f}s; "
-              f"obs {first} -> {last}")
-    return {"rate_met_it_s": rate_met, "rate_rrr_it_s": rate_rrr,
-            "met_factor_measured": factor, "met_factor_reference": ref_factor,
-            "met": met, "rrr": rrr}
+def wall_to_target(res, target, idx=0):
+    """First recorded wall second at which the chain-mean observable
+    (component idx) is <= target; None if never reached."""
+    for p in res["traj"]:
+        o = p["obs_mean"]
+        v = o[idx] if isinstance(o, list) else o
+        if v <= target:
+            return p["wall_s"]
+    return None
+
+
+def qising(t_limit, chains_kernel, seed):
+    X = rt.GraphQSKT(1024, 16, 0.3, 2.0, seed=8370274)
+    obs = _qenergy_batch
+    out = {"model": "QSKT N=1024 M=16 beta=2 Gamma=0.3",
+           "chains_kernel": chains_kernel, "chains_xla": 64}
+    print("=== QIsing: kernel engines ===", flush=True)
+    out["met_kernel"] = run_engine(
+        eng_met_kernel(X, 2.0, chains_kernel, seed), X, obs,
+        t_limit=t_limit, probe_n=8 * X.N)
+    print(json.dumps({"met_kernel_rate": out["met_kernel"]["rate_iters_per_s"]}),
+          flush=True)
+    out["rrr_kernel"] = run_engine(
+        eng_rrr_kernel(X, 2.0, chains_kernel, seed + 1), X, obs,
+        t_limit=t_limit, probe_n=2_000)
+    print(json.dumps({"rrr_kernel_rate": out["rrr_kernel"]["rate_iters_per_s"]}),
+          flush=True)
+    print("=== QIsing: XLA baseline engines (round-2 operating point) ===",
+          flush=True)
+    out["met_xla"] = run_engine(
+        eng_xla(rt.standardMC, X, 2.0, 64, seed + 2), X, obs,
+        t_limit=min(t_limit, 60.0), probe_n=400)
+    out["rrr_xla"] = run_engine(
+        eng_xla(rt.rrrMC, X, 2.0, 64, seed + 3), X, obs,
+        t_limit=min(t_limit, 60.0), probe_n=400)
+    out["met_factor_kernel"] = (out["met_kernel"]["rate_iters_per_s"]
+                                / out["rrr_kernel"]["rate_iters_per_s"])
+    out["met_factor_xla"] = (out["met_xla"]["rate_iters_per_s"]
+                             / out["rrr_xla"]["rate_iters_per_s"])
+    out["met_factor_reference_cpu"] = 15.74          # scripts.jl:778
+    # headline: wall-clock to the Qenergy level the XLA rrr engine ends at
+    target = out["rrr_xla"]["traj"][-1]["obs_mean"][0] if isinstance(
+        out["rrr_xla"]["traj"][-1]["obs_mean"], list) else \
+        out["rrr_xla"]["traj"][-1]["obs_mean"]
+    out["target_Qenergy"] = target
+    out["wall_to_target_s"] = {
+        k: wall_to_target(out[k], target)
+        for k in ("met_kernel", "rrr_kernel", "met_xla", "rrr_xla")}
+    wx = out["wall_to_target_s"]["rrr_xla"] or out["rrr_xla"]["wall_s"]
+    wk = {k: v for k, v in out["wall_to_target_s"].items()
+          if k.endswith("kernel") and v}
+    if wk:
+        out["speedup_vs_rrr_xla"] = {k: wx / v for k, v in wk.items()}
+    print(json.dumps({k: out[k] for k in
+                      ("met_factor_kernel", "met_factor_xla",
+                       "target_Qenergy", "wall_to_target_s")}), flush=True)
+    return out
+
+
+def reising(t_limit, seed):
+    """REIsing across the reference's full gamma grid (scripts.jl:878)."""
+    ref = {2.0: 20.8, 3.0: 24.6, 4.0: 13.9, 5.0: 6.4}
+    out = {"model": "SKRE N=1024 M=5 beta=0.4", "chains": 64, "gammas": {}}
+    for gamma, ref_f in ref.items():
+        X = rt.GraphSKRE(1024, 5, gamma, 0.4, seed=8370275)
+        row = {}
+        row["met"] = run_engine(
+            eng_xla(rt.standardMC, X, 0.4, 64, seed), X, _re_obs_batch,
+            t_limit=t_limit, probe_n=400)
+        row["rrr"] = run_engine(
+            eng_xla(rt.rrrMC, X, 0.4, 64, seed + 1), X, _re_obs_batch,
+            t_limit=t_limit, probe_n=400)
+        row["met_factor_measured"] = (row["met"]["rate_iters_per_s"]
+                                      / row["rrr"]["rate_iters_per_s"])
+        row["met_factor_reference_cpu"] = ref_f
+        print(json.dumps({"gamma": gamma,
+                          "met_factor": row["met_factor_measured"],
+                          "ref": ref_f,
+                          "met_final": row["met"]["traj"][-1]["obs_mean"],
+                          "rrr_final": row["rrr"]["traj"][-1]["obs_mean"]}),
+              flush=True)
+        out["gammas"][str(gamma)] = row
+    return out
 
 
 def main():
     t_limit = float(sys.argv[1]) if len(sys.argv) > 1 else 90.0
-    chains = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    chains = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
     which = sys.argv[3] if len(sys.argv) > 3 else "both"
-    out = {"t_limit_s": t_limit, "chains": chains}
-
+    out = {"t_limit_s": t_limit}
     if which in ("qising", "both"):
-        X = rt.GraphQSKT(1024, 16, 0.3, 2.0, seed=8370274)
-        out["QIsing"] = experiment(
-            "QIsing QSKT N=1024 M=16 beta=2 Gamma=0.3", X, 2.0, qenergy_obs,
-            t_limit=t_limit, chains=chains, seed=654789,
-            ref_factor=15.74)   # scripts.jl:778
+        out["QIsing"] = qising(t_limit, chains, seed=654789)
     if which in ("reising", "both"):
-        X = rt.GraphSKRE(1024, 5, 2.0, 0.4, seed=8370275)
-        out["REIsing"] = experiment(
-            "REIsing SKRE N=1024 M=5 beta=0.4 gamma=2", X, 0.4, re_obs,
-            t_limit=t_limit, chains=chains, seed=654790,
-            ref_factor=20.8)    # scripts.jl:878
-
+        out["REIsing"] = reising(min(t_limit, 45.0), seed=654790)
     with open("paper_quant_results.json", "w") as f:
         json.dump(out, f, indent=1)
     print("wrote paper_quant_results.json")

@@ -22,6 +22,10 @@ def rejfree_interp():
     os.environ["RRRMC_PALLAS_INTERPRET"] = "1"
     import rrrmc_tpu.ops.rejfree_pallas as rp
     importlib.reload(rp)
+    # pin lattice models to the roll-identity kernel these tests validate
+    # (by default small lattices route to the dense MXU variant, which has
+    # its own law tests below); the reload at teardown restores the default
+    rp._LATTICE_DENSE_MAX = 0
     yield rp
     os.environ.pop("RRRMC_PALLAS_INTERPRET")
     importlib.reload(rp)
@@ -360,3 +364,30 @@ def test_rrr_pallas_double_stays_on_xla(rejfree_interp):
     E_re = jax.jit(jax.vmap(q.energy))(st.sigma)
     np.testing.assert_allclose(np.asarray(E_re, np.float64),
                                np.asarray(st.E, np.float64), atol=1e-9)
+
+
+def test_small_lattice_routes_to_dense_kernel(rejfree_interp):
+    """Small integer lattices densify onto the MXU race variant (the
+    _LATTICE_DENSE_MAX crossover): identical integer energy grid, same
+    Boltzmann law, route reported as dense."""
+    import rrrmc_tpu as rt
+    from rrrmc_tpu.samplers.common import LAST_ROUTE
+
+    rp = rejfree_interp
+    saved = rp._LATTICE_DENSE_MAX
+    rp._LATTICE_DENSE_MAX = 2048
+    try:
+        X = rt.GraphEA(4, 2, (-1, 2), seed=31)     # N = 16, |J| in {1, 2}
+        beta = 1.0
+        E_exact = _boltzmann_mean(X, beta)
+        Es, st = rt.bklMC(X, beta, iters=60_000, step=200, chains=128,
+                          seed=21, backend="pallas")
+        assert LAST_ROUTE["backend"] == "pallas-rejfree-dense"
+        E_re = jax.jit(jax.vmap(X.energy))(st.sigma)
+        np.testing.assert_array_equal(np.asarray(E_re), np.asarray(st.E))
+        Es = np.asarray(Es)
+        got = Es[:, Es.shape[1] // 4:].mean()
+        sem = Es[:, Es.shape[1] // 4:].std() / np.sqrt(Es.shape[0] * 3.0)
+        assert abs(got - E_exact) < max(5 * sem, 0.05), (got, E_exact, sem)
+    finally:
+        rp._LATTICE_DENSE_MAX = saved

@@ -104,6 +104,26 @@ def test_sweep_kernel_beta_ladder_boltzmann():
         assert abs(got - exact) < max(5 * sem, 0.1), (beta, got, exact, sem)
 
 
+def test_aux_fresh_after_conditional_recompute():
+    """The per-slot aux recompute is skipped (lax.cond) on rounds where no
+    chain of that slot swapped; after ANY mix of swap/no-swap rounds every
+    slot's aux must still equal init_aux(sigma) exactly."""
+    Nk, M, beta = 3, 3, 1.0
+    base = rt.GraphSK(Nk, seed=5)
+    models = [rt.GraphQuant(Nk, M, g, beta, base) for g in (0.3, 0.8, 1.5)]
+    # near-identical slots swap constantly; the wide Gamma ladder rarely —
+    # both paths of the cond run across these rounds
+    _, _, st = tempered_ensembles(models, [beta] * 3, n_rounds=40,
+                                  moves_per_round=6, chains=16, seed=13)
+    for m, slot in zip(models, st.slots):
+        fresh = jax.jit(jax.vmap(m.init_aux))(slot.sigma)
+        for got, want in zip(jax.tree.leaves(slot.aux),
+                             jax.tree.leaves(fresh)):
+            np.testing.assert_allclose(np.asarray(got, np.float64),
+                                       np.asarray(want, np.float64),
+                                       rtol=0, atol=1e-9)
+
+
 def test_sweep_kernel_rejects_wrapper():
     base = rt.GraphSK(16, seed=3)
     q = rt.GraphQuant(16, 3, 0.5, 1.0, base)
