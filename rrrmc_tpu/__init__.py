@@ -54,7 +54,8 @@ from .models.committee import (
 )
 from .samplers.metropolis import standardMC
 from .samplers.sweep import sweepMC
-from .samplers.dense_sweep import sweepMC_dense, sweepMC_quant
+from .samplers.dense_sweep import (sweepMC_dense, sweepMC_quant,
+                                   sweepMC_replica)
 from .samplers.rrr import rrrMC
 from .samplers.bkl import bklMC
 from .samplers.wtm import wtmMC

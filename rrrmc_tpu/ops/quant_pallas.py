@@ -1,41 +1,52 @@
-"""Pallas TPU kernels for ring-replica composites (GraphQuant over a dense
-base): the paper's QIsing workload at kernel speed.
+"""Pallas TPU kernels for replica composites over dense bases: GraphQuant
+(Trotter ring) and GraphRobustEnsemble (RE star) — the paper's QIsing and
+REIsing workloads at kernel speed.
 
-GraphQuant(Nk, M, Gamma, beta, base) is M Trotter replicas of `base` plus a
-ferromagnetic ring across replicas at each site
-(/root/reference/src/graphs/QT.jl:126-199). Flattened to one [Nk*M, Nk*M]
-coupling matrix it would stream ~1 GB of J per move; exploiting the replica
-structure instead, the composite physical local field is
+Both wrappers are M replicas of a dense `base` plus a same-site coupling
+across replicas (/root/reference/src/graphs/QT.jl:126-199, RE.jl:216-327).
+Flattened to one [Nk*M, Nk*M] coupling matrix the ring would stream ~1 GB of
+J per move, and the RE star is not pairwise at all (log-cosh of the replica
+magnetization). Exploiting the replica structure instead, the composite
+physical flip cost of site j = (i, k) is
 
-    lf[(k, i)] = sb * (J_base @ s_k + h)_i  +  c4 * (s_{k-1,i} + s_{k+1,i})
+    dE_j = 2 s_j * [ sb * (J_base @ s_k + h)_i ]  +  extra_j
 
-with sb = base.scale / M (the 1/M Suzuki-Trotter weight) and c4 = fourK/4 —
-i.e. M small [Nk, Nk] x [Nk, BT] MXU matmuls on the VMEM-resident base J
-(exact bf16 for integer bases, f32 for float bases) plus ONE sublane rotate
-by +-Nk on the replica-major composite (the ring neighbors are exactly +-Nk
-rows, /root/reference/src/graphs/QT.jl:105-108, matching models/replicas.py's
-replica-major layout). 16x fewer FLOPs than the flattened dense form and no
-HBM streaming.
+    extra_j (ring) = 2 s_j * c4 * (s_{k-1,i} + s_{k+1,i})
+                     — c4 = fourK/4; the ring neighbors are exactly +-Nk
+                       rows of the replica-major composite
+                       (QT.jl:105-108, models/replicas.py layout), ONE
+                       sublane rotate;
+    extra_j (star) = s_j * fk(mu_i - s_j)
+                     — mu_i = sum_k s_{k,i} (M-1 sublane-block adds) and
+                       fk the M-entry Delta-E table of RE.jl:60-67,
+                       looked up by an unrolled M-way select (Mosaic has
+                       no dynamic gather).
 
-Two kernels share the lf identity:
+with sb = base.scale * resid.weight — i.e. M small [Nk, Nk] x [Nk, BT] MXU
+matmuls on the VMEM-resident base J (exact bf16 for integer bases, f32 for
+float bases) plus O(M) vector passes. ~M times fewer FLOPs than the
+flattened dense form and no HBM streaming.
+
+Two kernels share the dE identity:
 
 * rejection-free race kernel (modes bkl / wtm / rrr) — identical move
   selection, time bookkeeping, and acceptance accounting to
-  ops/rejfree_pallas.py, with f32 PHYSICAL energies (the composite mixes the
-  base's integer grid with the irrational fourK);
-* sequential Metropolis sweep kernel (the Metropolis baseline of the paper's
-  QIsing experiment, /root/reference/scripts/scripts.jl:766-863) — the
+  ops/rejfree_pallas.py, with f32 PHYSICAL energies (the composite mixes
+  the base's integer grid with irrational wrapper constants);
+* sequential Metropolis sweep kernel (the Metropolis baseline of the
+  paper's experiments, /root/reference/scripts/scripts.jl:766-963) — the
   delayed-update window scheme of ops/sk_pallas.py, with windows contained
-  in one replica block (ring partners live in OTHER replica blocks, so the
+  in one replica block (cross-replica partners live in OTHER blocks, so the
   in-window correction needs only the base J block; the rank-W commit adds
-  the base update to the mover's block and the c4-scaled delta to the two
-  ring-neighbor blocks' aligned rows).
+  the base update to the mover's block plus, ring: the c4-scaled delta to
+  the two ring-neighbor blocks' aligned rows / star: the integer delta to
+  the mu table).
 
 Kernel-rrr on the composite is the SingleGraph rrr law on the flattened
 model (moves ~ min(1, e^{-beta dE_total}), staged z/z') — same stationary
 distribution as the reference's Double-graph rrr, reached by a different
-(typically faster-mixing) chain; the XLA path keeps the reference's
-inner+residual split.
+(typically faster-mixing) chain; the XLA path keeps the inner+residual
+split.
 """
 
 from __future__ import annotations
@@ -56,37 +67,50 @@ _INTERPRET = interpret_params()
 #: composite-size cap: sig int32 + matmul copy + (sweep) lf f32 scratch at
 #: BT=128 must fit VMEM
 _RING_NM_MAX = 32768
+#: star select-chain cap: the fk lookup costs M vector passes per move
+_STAR_M_MAX = 16
 
 
 # ---------------------------------------------------------------------------
-# Spec extraction: QuantModel -> kernel tables (host-side, cached)
+# Spec extraction: QuantModel / REModel -> kernel tables (host-side, cached)
 # ---------------------------------------------------------------------------
 
 _SPEC_CACHE: dict = {}
 
 
-def quant_ring_spec(model):
-    """Kernel tables for a GraphQuant over a FullyConnected (or densifiable
-    Pairwise) base, or None if the model does not fit the kernel:
+def composite_spec(model):
+    """Kernel tables for a GraphQuant / GraphRobustEnsemble over a
+    FullyConnected (or densifiable Pairwise) base, or None if the model
+    does not fit the kernel:
 
-    {Jb [Nk, Nk] bf16/f32, hph [Nk*M, 1] f32 (= sb*h tiled), sb, c4, M, Nk,
-     flt} — flt marks a float base (f32 matmul instead of exact bf16)."""
+    {term: "ring"|"star", Jb [Nk, Nk] bf16/f32, hph [Nk*M, 1] f32
+     (= sb*h tiled), sb, c4 (ring), fk [M] f32 (star), M, Nk, flt} —
+    flt marks a float base (f32 matmul instead of exact bf16)."""
     from ..models.dense import FullyConnected, densify
     from ..models.pairwise import Pairwise
-    from ..models.replicas import QuantModel, Replicated
+    from ..models.replicas import QuantModel, Replicated, REModel
     from ..samplers.common import bound_cache_put
     from .rejfree_pallas import _dense_rejfree_ok
 
-    if not isinstance(model, QuantModel):
+    if isinstance(model, QuantModel):
+        term = "ring"
+    elif isinstance(model, REModel):
+        term = "star"
+    else:
         return None
     resid = model.resid_m
     if not isinstance(resid, Replicated) or resid.offset != 0:
         return None
     base = resid.base
-    key = (id(base.J if hasattr(base, "J") else base), model.M,
-           float(model.inner_m.scale), float(resid.weight))
+    bid = base.J if hasattr(base, "J") else base
+    # the wrapper constants live in static metadata: ring = c4 (inner
+    # scale), star = the fk table's (gamma, beta) — both must key the cache
+    consts = (float(model.inner_m.scale),
+              float(getattr(model.inner_m, "gamma", 0.0)),
+              float(getattr(model.inner_m, "beta_p", 0.0)))
+    key = (id(bid), term, model.M, consts, float(resid.weight))
     ent = _SPEC_CACHE.get(key)
-    if ent is not None and ent[0] is (base.J if hasattr(base, "J") else base):
+    if ent is not None and ent[0] is bid:
         return ent[1]
     dense = base
     if isinstance(dense, Pairwise) and not isinstance(dense, FullyConnected):
@@ -99,40 +123,61 @@ def quant_ring_spec(model):
     Nk, M = dense.N, model.M
     if Nk % 128 != 0 or M <= 2 or Nk * M > _RING_NM_MAX:
         return None
+    if term == "star" and M > _STAR_M_MAX:
+        return None
     integer = jnp.issubdtype(dense.J.dtype, jnp.integer)
     if integer and not _dense_rejfree_ok(dense):
         return None
     jd = jnp.bfloat16 if integer else jnp.float32
     sb = float(dense.scale) * float(resid.weight)
     h = np.asarray(dense.h, np.float64) * sb
+    c4 = float(model.inner_m.scale) if term == "ring" else 0.0
+    fk = (tuple(float(v) for v in np.asarray(model.inner_m.fk))
+          if term == "star" else ())
     spec = {
+        "term": term,
         "Jb": jnp.asarray(np.asarray(dense.J, np.float32), jd),
         "hph": jnp.asarray(np.tile(h.reshape(Nk, 1), (M, 1)), jnp.float32),
-        "sb": sb,
-        "c4": float(model.inner_m.scale),
+        "sb": sb, "c4": c4, "fk": fk,
+        # wrapper constants ride SMEM so one compile serves a whole
+        # Gamma/gamma ladder (fk/c4 as static args would recompile per rung)
+        "params": jnp.asarray((sb, c4) + fk + (0.0,) * (M - len(fk)),
+                              jnp.float32),
         "M": M, "Nk": Nk, "flt": not integer,
     }
-    bound_cache_put(_SPEC_CACHE, key,
-                    (base.J if hasattr(base, "J") else base, spec))
+    bound_cache_put(_SPEC_CACHE, key, (bid, spec))
     return spec
 
 
-def quant_ring_eligible(model, chains: int) -> bool:
-    return chains % 128 == 0 and quant_ring_spec(model) is not None
+def quant_ring_spec(model):
+    """Back-compat alias: spec when the model is a ring composite."""
+    spec = composite_spec(model)
+    return spec if spec is not None and spec["term"] == "ring" else None
+
+
+def replica_composite_eligible(model, chains: int) -> bool:
+    return chains % 128 == 0 and composite_spec(model) is not None
+
+
+#: back-compat name used by earlier routing call sites
+quant_ring_eligible = replica_composite_eligible
 
 
 # ---------------------------------------------------------------------------
-# Shared lf identity
+# Shared dE identity
 # ---------------------------------------------------------------------------
 
 
-def _make_ring_lf(jb_ref, hph_ref, sbc, c4c, *, Nk, M, BT, flt):
-    """Returns lf_phys(sig[int32 NM x BT]) -> f32 [NM, BT]: M static-sliced
-    base matmuls + one +-Nk sublane rotate for the Trotter ring."""
+def _make_dE(jb_ref, hph_ref, params_ref, *, term, Nk, M, BT, flt):
+    """Returns dE_phys(sig[int32 NM x BT]) -> f32 [NM, BT]: the physical
+    cost of flipping each composite site at state sig. M static-sliced base
+    matmuls, then the ring rotate or the star mu/fk select-chain."""
     NM = Nk * M
     mm_dt = jnp.float32 if flt else jnp.bfloat16
+    sbc = params_ref[0]
+    c4c = params_ref[1]
 
-    def lf_phys(sig):
+    def base_lf(sig):
         sigm = sig.astype(mm_dt)
         parts = []
         for k in range(M):                       # static slices of a VALUE
@@ -141,11 +186,36 @@ def _make_ring_lf(jb_ref, hph_ref, sbc, c4c, *, Nk, M, BT, flt):
                 jb_ref[:], s_k,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32))
-        lf = sbc * jnp.concatenate(parts, axis=0) + hph_ref[:]
-        ring = pltpu.roll(sig, Nk, axis=0) + pltpu.roll(sig, NM - Nk, axis=0)
-        return lf + c4c * ring.astype(jnp.float32)
+        return sbc * jnp.concatenate(parts, axis=0) + hph_ref[:]
 
-    return lf_phys
+    if term == "ring":
+        def dE_phys(sig):
+            lf = base_lf(sig)
+            ring = (pltpu.roll(sig, Nk, axis=0)
+                    + pltpu.roll(sig, NM - Nk, axis=0))
+            lf = lf + c4c * ring.astype(jnp.float32)
+            return 2.0 * sig.astype(jnp.float32) * lf
+        return dE_phys
+
+    fk_c = [params_ref[2 + d] for d in range(M)]
+
+    def dE_phys(sig):
+        lf = base_lf(sig)
+        mu = sig[0:Nk, :]
+        for k in range(1, M):
+            mu = mu + sig[k * Nk:(k + 1) * Nk, :]
+        rows = []
+        for k in range(M):
+            s_b = sig[k * Nk:(k + 1) * Nk, :]
+            idx = (mu - s_b + (M - 1)) >> 1      # int32 in [0, M-1]
+            fkv = jnp.zeros((Nk, BT), jnp.float32)
+            for d in range(M):                   # unrolled M-way select
+                fkv = fkv + jnp.where(idx == d, fk_c[d], jnp.float32(0.0))
+            s_f = s_b.astype(jnp.float32)
+            rows.append(2.0 * s_f * lf[k * Nk:(k + 1) * Nk, :] + s_f * fkv)
+        return jnp.concatenate(rows, axis=0)
+
+    return dE_phys
 
 
 # ---------------------------------------------------------------------------
@@ -153,13 +223,14 @@ def _make_ring_lf(jb_ref, hph_ref, sbc, c4c, *, Nk, M, BT, flt):
 # ---------------------------------------------------------------------------
 
 
-def _ring_rejfree_kernel(seed_ref, beta_ref, target_ref, jb_ref, hph_ref,
+def _ring_rejfree_kernel(seed_ref, beta_ref, target_ref, params_ref,
+                         jb_ref, hph_ref,
                          sigma_ref, E_ref, coord_ref, acc_ref, zacc_ref,
                          sigma_out, E_out, coord_out, acc_out, zacc_out,
-                         cs_out, es_out, *, Nk, M, BT, n_moves, mode, flt,
-                         sb, c4):
+                         cs_out, es_out, *, term, Nk, M, BT, n_moves,
+                         mode, flt):
     """Same race machinery as ops/rejfree_pallas._rejfree_dense_kernel with
-    the ring-replica lf and f32 physical energies."""
+    the replica-composite dE and f32 physical energies."""
     wtm = mode == "wtm"
     NM = Nk * M
     seed_p = program_seed(seed_ref[0], pl.program_id(0))
@@ -167,10 +238,8 @@ def _ring_rejfree_kernel(seed_ref, beta_ref, target_ref, jb_ref, hph_ref,
     salt0 = seed_p * jnp.int32(1000003)
     beta = beta_ref[0]
     target = target_ref[0]
-    sbc = jnp.float32(sb)
-    c4c = jnp.float32(c4)
-    lf_phys = _make_ring_lf(jb_ref, hph_ref, sbc, c4c, Nk=Nk, M=M, BT=BT,
-                            flt=flt)
+    dE_phys = _make_dE(jb_ref, hph_ref, params_ref, term=term, Nk=Nk,
+                       M=M, BT=BT, flt=flt)
     iota_nb = jax.lax.broadcasted_iota(jnp.int32, (NM, BT), 0)
     inv32 = jnp.float32(2.0 ** -32)
     half_f = jnp.float32(0.5)
@@ -178,28 +247,24 @@ def _ring_rejfree_kernel(seed_ref, beta_ref, target_ref, jb_ref, hph_ref,
     def to_uniform(rb):
         return rb.astype(jnp.float32) * inv32 + half_f
 
-    beta2 = 2.0 * beta        # dE = 2*half: fold the 2 into the exponent
-
     def move(m, carry):
         sig, E, coord, acc, zacc = carry
         active = coord < target                       # [1, BT]
-        half = sig.astype(jnp.float32) * lf_phys(sig)   # dE = 2*half, f32
-        bE = beta2 * jnp.maximum(half, 0.0)
+        dE = dE_phys(sig)                             # f32 [NM, BT]
+        bE = beta * jnp.maximum(dE, 0.0)
         u = to_uniform(random_bits((NM, BT), salt0 + 3 * m))
         score = jnp.log(-jnp.log(u)) + bE
         mrow = jnp.min(score, axis=0, keepdims=True)
         sel = score == mrow
         imin = jnp.min(jnp.where(sel, iota_nb, NM), axis=0, keepdims=True)
         onehot = iota_nb == imin
-        dE_i = jnp.sum(jnp.where(onehot, 2.0 * half, 0.0), axis=0,
-                       keepdims=True)
+        dE_i = jnp.sum(jnp.where(onehot, dE, 0.0), axis=0, keepdims=True)
         z = jnp.sum(jnp.exp(-bE), axis=0, keepdims=True)
         zacc = zacc + jnp.where(active, z * jnp.float32(1.0 / NM),
                                 jnp.float32(0.0))
         if mode == "rrr":
             sig2 = jnp.where(onehot, -sig, sig)
-            bE2 = beta2 * jnp.maximum(
-                sig2.astype(jnp.float32) * lf_phys(sig2), 0.0)
+            bE2 = beta * jnp.maximum(dE_phys(sig2), 0.0)
             m1 = jnp.min(bE, axis=0, keepdims=True)
             m2 = jnp.min(bE2, axis=0, keepdims=True)
             z1 = jnp.sum(jnp.exp(m1 - bE), axis=0, keepdims=True)
@@ -237,18 +302,18 @@ def _ring_rejfree_kernel(seed_ref, beta_ref, target_ref, jb_ref, hph_ref,
     zacc_out[:] = zacc
 
 
-@partial(jax.jit, static_argnames=("Nk", "M", "block_chains", "n_moves",
-                                   "mode", "flt", "sb", "c4"))
-def _pallas_ring_rejfree_chunk(sigma, E, coord, acc, zacc, Jb, hph, seed,
-                               beta, target, *, Nk, M, block_chains,
-                               n_moves, mode, flt, sb, c4):
+@partial(jax.jit, static_argnames=("term", "Nk", "M", "block_chains",
+                                   "n_moves", "mode", "flt"))
+def _pallas_ring_rejfree_chunk(sigma, E, coord, acc, zacc, Jb, hph, params,
+                               seed, beta, target, *, term, Nk, M,
+                               block_chains, n_moves, mode, flt):
     sigmaT = sigma.T
     NM, B = sigmaT.shape
     BT = block_chains
     grid = (B // BT,)
     ct = jnp.float32 if mode == "wtm" else jnp.int32
-    kernel = partial(_ring_rejfree_kernel, Nk=Nk, M=M, BT=BT,
-                     n_moves=n_moves, mode=mode, flt=flt, sb=sb, c4=c4)
+    kernel = partial(_ring_rejfree_kernel, term=term, Nk=Nk, M=M,
+                     BT=BT, n_moves=n_moves, mode=mode, flt=flt)
     row = pl.BlockSpec((1, BT), lambda j: (0, j), memory_space=pltpu.VMEM)
     stream = pl.BlockSpec((n_moves, BT), lambda j: (0, j),
                           memory_space=pltpu.VMEM)
@@ -259,6 +324,7 @@ def _pallas_ring_rejfree_chunk(sigma, E, coord, acc, zacc, Jb, hph, seed,
             pl.BlockSpec(memory_space=pltpu.SMEM),      # seed
             pl.BlockSpec(memory_space=pltpu.SMEM),      # beta
             pl.BlockSpec(memory_space=pltpu.SMEM),      # target
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # params [sb c4 fk..]
             pl.BlockSpec((Nk, Nk), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),      # Jb
             pl.BlockSpec((NM, 1), lambda j: (0, 0),
@@ -280,19 +346,20 @@ def _pallas_ring_rejfree_chunk(sigma, E, coord, acc, zacc, Jb, hph, seed,
             jax.ShapeDtypeStruct((n_moves, B), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=128 * 1024 * 1024),
         interpret=_INTERPRET,
-    )(seed, beta, target, Jb, hph, sigmaT, E[None, :].astype(jnp.float32),
+    )(seed, beta, target, params, Jb, hph, sigmaT,
+      E[None, :].astype(jnp.float32),
       coord[None, :].astype(ct), acc[None, :], zacc[None, :])
     return (sig_out.T, E_out[0], coord_out[0], acc_out[0], zacc_out[0],
             cs, es)
 
 
-@partial(jax.jit, static_argnames=("Nk", "M", "bt", "chunk_moves", "mode",
-                                   "flt", "sb", "c4"))
-def ring_rejfree_run(Jb, hph, beta, sigma, E, coord, Es, seed0, target,
-                     step, scale, *, Nk, M, bt, chunk_moves, mode, flt,
-                     sb, c4):
+@partial(jax.jit, static_argnames=("term", "Nk", "M", "bt",
+                                   "chunk_moves", "mode", "flt"))
+def ring_rejfree_run(Jb, hph, params, beta, sigma, E, coord, Es, seed0,
+                     target, step, scale, *, term, Nk, M, bt, chunk_moves,
+                     mode, flt):
     """Whole hookless run in ONE jit (see rejfree_pallas.rejfree_run);
     energies are f32 PHYSICAL throughout (scale is 1.0 for composites)."""
     from ..samplers.bkl import _fill_checkpoints
@@ -311,9 +378,9 @@ def ring_rejfree_run(Jb, hph, beta, sigma, E, coord, Es, seed0, target,
         x_start = coord
         e_start = E.astype(Es.dtype) * scale
         sigma, E, coord, acc, zacc, cs, es = _pallas_ring_rejfree_chunk(
-            sigma, E, coord, acc, zacc, Jb, hph, seed, beta, target_arr,
-            Nk=Nk, M=M, block_chains=bt, n_moves=chunk_moves, mode=mode,
-            flt=flt, sb=sb, c4=c4)
+            sigma, E, coord, acc, zacc, Jb, hph, params, seed, beta,
+            target_arr, term=term, Nk=Nk, M=M, block_chains=bt,
+            n_moves=chunk_moves, mode=mode, flt=flt)
         Es = _fill_checkpoints(Es, step, x_start, e_start, cs,
                                es.astype(Es.dtype) * scale)
         return sigma, E, coord, acc, zacc, Es, k + 1
@@ -325,21 +392,22 @@ def ring_rejfree_run(Jb, hph, beta, sigma, E, coord, Es, seed0, target,
 
 
 class PallasRingRejFree:
-    """Rejection-free runner (bkl / wtm / rrr) for GraphQuant composites —
-    same .run()/.chunk() surface as rejfree_pallas.PallasRejectionFree so
-    samplers.bkl._rejfree_mc drives both. Energies are f32 physical
-    (flt is always True for the driver's dtype selection)."""
+    """Rejection-free runner (bkl / wtm / rrr) for GraphQuant /
+    GraphRobustEnsemble composites — same .run() surface as
+    rejfree_pallas.PallasRejectionFree so samplers.bkl._rejfree_mc drives
+    both. Energies are f32 physical (flt is always True for the driver's
+    dtype selection); .kind reports ring / star."""
 
-    kind = "ring"
     flt = True
 
     def __init__(self, model, beta: float, mode: str, *,
                  block_chains: int = 128, chunk_moves: int = 512):
-        spec = quant_ring_spec(model)
-        assert spec is not None, "model is not ring-replica eligible"
+        spec = composite_spec(model)
+        assert spec is not None, "model is not replica-composite eligible"
         assert mode in ("bkl", "wtm", "rrr")
         self.model, self.mode = model, mode
         self.spec = spec
+        self.kind = spec["term"]
         self.beta = jnp.asarray([beta], jnp.float32)
         self.block_chains = block_chains
         self.chunk_moves = chunk_moves
@@ -347,10 +415,10 @@ class PallasRingRejFree:
     def run(self, sigma, E, coord, Es, seed, target, step, scale):
         s = self.spec
         return ring_rejfree_run(
-            s["Jb"], s["hph"], self.beta, sigma, E, coord, Es, seed,
-            target, step, scale, Nk=s["Nk"], M=s["M"],
-            bt=self.block_chains, chunk_moves=self.chunk_moves,
-            mode=self.mode, flt=s["flt"], sb=s["sb"], c4=s["c4"])
+            s["Jb"], s["hph"], s["params"], self.beta, sigma, E, coord,
+            Es, seed, target, step, scale, term=s["term"], Nk=s["Nk"],
+            M=s["M"], bt=self.block_chains, chunk_moves=self.chunk_moves,
+            mode=self.mode, flt=s["flt"])
 
 
 # ---------------------------------------------------------------------------
@@ -358,17 +426,20 @@ class PallasRingRejFree:
 # ---------------------------------------------------------------------------
 
 
-def _ring_window_moves(Jw_sb, sig_w, lf_w, rbits, beta, *, W):
+def _ring_window_moves(Jw_sb, sig_w, lf_w, extra_w, rbits, beta, *, W):
     """W unrolled sequential Metropolis decisions in one window (all f32):
     decision k sees the in-window correction of flips 0..k-1 through the
-    sb-scaled base J block (ring partners are in other replica blocks)."""
+    sb-scaled base J block (cross-replica partners are in other replica
+    blocks). extra_w [W, BT] is the non-base dE contribution per row
+    (ring: 2*s*c4*(ring neighbors); star: s*fk(mu - s)) — constant within
+    the window because in-window rows are distinct sites."""
     new_rows, delta_rows = [], []
     dE_w = jnp.zeros((1, rbits.shape[1]), jnp.float32)
     acc_w = jnp.zeros((1, rbits.shape[1]), jnp.int32)
     for k in range(W):
         s_k = sig_w[k:k + 1, :]                       # [1, BT] int32
         s_f = s_k.astype(jnp.float32)
-        dE = 2.0 * s_f * lf_w[k:k + 1, :]
+        dE = 2.0 * s_f * lf_w[k:k + 1, :] + extra_w[k:k + 1, :]
         p = jnp.exp(-beta * dE)
         th = jnp.clip(
             p * jnp.float32(4294967296.0) - jnp.float32(2147483648.0),
@@ -385,26 +456,53 @@ def _ring_window_moves(Jw_sb, sig_w, lf_w, rbits, beta, *, W):
             jnp.concatenate(delta_rows, axis=0), dE_w, acc_w)
 
 
-def _ring_sweep_kernel(seed_ref, ns_ref, beta_ref, jb_ref, hph_ref,
+def _ring_sweep_kernel(seed_ref, ns_ref, beta_ref, params_ref, jb_ref,
+                       hph_ref,
                        sigma_ref, lf_ref, E_ref, acc_ref,
                        sigma_out, lf_out, E_out, acc_out,
-                       sig_s, lf_s, *, Nk, M, W, BT, flt, sb, c4):
+                       sig_s, lf_s, mu_s, *, term, Nk, M, W, BT, flt):
     """n_sweeps (dynamic) typewriter sweeps over the [NM, BT] composite:
     windows of W sites inside one replica block; rank-W base commit to the
-    mover's block + c4*delta to the two ring-neighbor blocks' aligned rows."""
+    mover's block plus the wrapper commit (ring: c4*delta to the two
+    ring-neighbor blocks' aligned rows; star: integer delta into the mu
+    table, from which the fk extra is evaluated per window)."""
     NM = Nk * M
     seed_p = program_seed(seed_ref[0], pl.program_id(0))
     pltpu.prng_seed(seed_p)
     salt0 = seed_p * jnp.int32(1000003)
     n_sweeps = ns_ref[0]
     beta = beta_ref[0]
-    sbc = jnp.float32(sb)
-    c4c = jnp.float32(c4)
+    sbc = params_ref[0]
+    c4c = params_ref[1]
     n_win = NM // W
     mm_dt = jnp.float32 if flt else jnp.bfloat16
+    fk_c = [params_ref[2 + d] for d in range(M)]
+    star = term == "star"
 
     sig_s[:] = sigma_ref[:].astype(jnp.int32)
     lf_s[:] = lf_ref[:]
+    if star:
+        # mu is cheap to rebuild per dispatch (M-1 adds): no state threading
+        mu = sig_s[pl.ds(0, Nk), :]
+        for k in range(1, M):
+            mu = mu + sig_s[pl.ds(k * Nk, Nk), :]
+        mu_s[:] = mu
+
+    def window_extra(k, base_i, row0):
+        """[W, BT] non-base dE contribution for window rows (see
+        _ring_window_moves)."""
+        sig_w = sig_s[pl.ds(row0, W), :]
+        if star:
+            mu_w = mu_s[pl.ds(base_i, W), :]
+            idx = (mu_w - sig_w + (M - 1)) >> 1
+            fkv = jnp.zeros((W, BT), jnp.float32)
+            for d in range(M):
+                fkv = fkv + jnp.where(idx == d, fk_c[d], jnp.float32(0.0))
+            return sig_w.astype(jnp.float32) * fkv
+        up = pl.multiple_of(((k + 1) % M) * Nk + base_i, W)
+        dn = pl.multiple_of(((k + M - 1) % M) * Nk + base_i, W)
+        ring = sig_s[pl.ds(up, W), :] + sig_s[pl.ds(dn, W), :]
+        return (2.0 * c4c) * (sig_w * ring).astype(jnp.float32)
 
     def one_window(sw, w, carry):
         E, acc = carry
@@ -416,7 +514,7 @@ def _ring_sweep_kernel(seed_ref, ns_ref, beta_ref, jb_ref, hph_ref,
         rbits = random_bits((W, BT), salt0 + sw * n_win + w)
         new_rows, delta, dE_w, acc_w = _ring_window_moves(
             Jw_sb, sig_s[pl.ds(row0, W), :], lf_s[pl.ds(row0, W), :],
-            rbits, beta, W=W)
+            window_extra(k, bi, row0), rbits, beta, W=W)
         sig_s[pl.ds(row0, W), :] = new_rows
         # base commit: lf[replica k block] += sb * J[win, :]^T @ delta
         upd = jax.lax.dot_general(
@@ -425,11 +523,11 @@ def _ring_sweep_kernel(seed_ref, ns_ref, beta_ref, jb_ref, hph_ref,
             preferred_element_type=jnp.float32)
         krow = pl.multiple_of(k * Nk, W)
         lf_s[pl.ds(krow, Nk), :] = lf_s[pl.ds(krow, Nk), :] + sbc * upd
-        # ring commits: aligned rows of the +-1 replica blocks
-        up = pl.multiple_of(((k + 1) % M) * Nk + base_i, W)
-        dn = pl.multiple_of(((k + M - 1) % M) * Nk + base_i, W)
-        lf_s[pl.ds(up, W), :] = lf_s[pl.ds(up, W), :] + c4c * delta
-        lf_s[pl.ds(dn, W), :] = lf_s[pl.ds(dn, W), :] + c4c * delta
+        if star:
+            mu_s[pl.ds(bi, W), :] = (mu_s[pl.ds(bi, W), :]
+                                     + delta.astype(jnp.int32))
+        # ring needs no commit beyond the spins: window_extra reads the
+        # ring partners' CURRENT spins from sig_s (lf_s stays base-only)
         return E + dE_w, acc + acc_w
 
     def one_sweep(sw, carry):
@@ -443,16 +541,16 @@ def _ring_sweep_kernel(seed_ref, ns_ref, beta_ref, jb_ref, hph_ref,
     acc_out[:] = acc
 
 
-@partial(jax.jit, static_argnames=("Nk", "M", "W", "block_chains", "flt",
-                                   "sb", "c4"))
-def _pallas_ring_sweep(sigma, lfT, E, acc, Jb, hph, seed, n_sweeps, beta, *,
-                       Nk, M, W, block_chains, flt, sb, c4):
+@partial(jax.jit, static_argnames=("term", "Nk", "M", "W",
+                                   "block_chains", "flt"))
+def _pallas_ring_sweep(sigma, lfT, E, acc, Jb, hph, params, seed, n_sweeps,
+                       beta, *, term, Nk, M, W, block_chains, flt):
     sigmaT = sigma.T
     NM, B = sigmaT.shape
     BT = block_chains
     grid = (B // BT,)
-    kernel = partial(_ring_sweep_kernel, Nk=Nk, M=M, W=W, BT=BT, flt=flt,
-                     sb=sb, c4=c4)
+    kernel = partial(_ring_sweep_kernel, term=term, Nk=Nk, M=M, W=W,
+                     BT=BT, flt=flt)
     row = pl.BlockSpec((1, BT), lambda j: (0, j), memory_space=pltpu.VMEM)
     blk = pl.BlockSpec((NM, BT), lambda j: (0, j), memory_space=pltpu.VMEM)
     sig_out, lf_out, E_out, acc_out = pl.pallas_call(
@@ -462,6 +560,7 @@ def _pallas_ring_sweep(sigma, lfT, E, acc, Jb, hph, seed, n_sweeps, beta, *,
             pl.BlockSpec(memory_space=pltpu.SMEM),      # seed
             pl.BlockSpec(memory_space=pltpu.SMEM),      # n_sweeps
             pl.BlockSpec(memory_space=pltpu.SMEM),      # beta
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # params [sb c4 fk..]
             pl.BlockSpec((Nk, Nk), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),      # Jb
             pl.BlockSpec((NM, 1), lambda j: (0, 0),
@@ -478,23 +577,26 @@ def _pallas_ring_sweep(sigma, lfT, E, acc, Jb, hph, seed, n_sweeps, beta, *,
         scratch_shapes=[
             pltpu.VMEM((NM, BT), jnp.int32),            # sig_s
             pltpu.VMEM((NM, BT), jnp.float32),          # lf_s
+            pltpu.VMEM((Nk, BT), jnp.int32),            # mu_s (star)
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=128 * 1024 * 1024),
         interpret=_INTERPRET,
-    )(seed, n_sweeps, beta, Jb, hph, sigmaT, lfT,
+    )(seed, n_sweeps, beta, params, Jb, hph, sigmaT, lfT,
       E[None, :].astype(jnp.float32), acc[None, :])
     return sig_out.T, lf_out, E_out[0], acc_out[0]
 
 
 class PallasRingSweeper:
-    """Reusable Metropolis sweep runner for GraphQuant composites; holds the
-    base J on device, threads the f32 physical lf across calls."""
+    """Reusable Metropolis sweep runner for GraphQuant /
+    GraphRobustEnsemble composites; holds the base J on device, threads the
+    f32 BASE local fields across calls (the wrapper extra is re-derived
+    in-kernel: ring rows from the spins, star from the mu table)."""
 
     def __init__(self, model, beta: float, *, window: int = 128,
                  block_chains: int = 128):
-        spec = quant_ring_spec(model)
-        assert spec is not None, "model is not ring-replica eligible"
+        spec = composite_spec(model)
+        assert spec is not None, "model is not replica-composite eligible"
         assert spec["Nk"] % window == 0
         self.model = model
         self.spec = spec
@@ -503,8 +605,10 @@ class PallasRingSweeper:
         self.block_chains = block_chains
 
     def lf_init(self, sigma):
-        """Physical composite local fields [NM, B] f32 (one jitted call)."""
-        return _ring_lf_init(self.model, sigma)
+        """BASE local fields [NM, B] f32 (one jitted call): sb*(J@s_k+h)."""
+        s = self.spec
+        return _base_lf_init(sigma, s["Jb"], s["hph"], Nk=s["Nk"],
+                             M=s["M"], sb=s["sb"])
 
     def __call__(self, sigma, E, acc, *, seed: int, n_sweeps: int, lfT=None):
         """sigma [B, NM] int8, E [B] f32 physical. Returns
@@ -513,19 +617,23 @@ class PallasRingSweeper:
         if lfT is None:
             lfT = self.lf_init(sigma)
         sig, lfT, E, acc = _pallas_ring_sweep(
-            sigma, lfT, E, acc, s["Jb"], s["hph"],
+            sigma, lfT, E, acc, s["Jb"], s["hph"], s["params"],
             jnp.asarray([seed], jnp.int32),
             jnp.asarray([n_sweeps], jnp.int32), self.beta,
-            Nk=s["Nk"], M=s["M"], W=self.W,
-            block_chains=self.block_chains, flt=s["flt"], sb=s["sb"],
-            c4=s["c4"])
+            term=s["term"], Nk=s["Nk"], M=s["M"], W=self.W,
+            block_chains=self.block_chains, flt=s["flt"])
         return sig, E, acc, lfT
 
 
-@jax.jit
-def _ring_lf_init(model, sigma):
-    """Composite physical lf via the model contract: delta_all = 2*s*lf."""
-    def one(s):
-        aux = model.init_aux(s)
-        return model.delta_all(s, aux) / (2.0 * s.astype(jnp.float32))
-    return jax.vmap(one)(sigma).T.astype(jnp.float32)
+@partial(jax.jit, static_argnames=("Nk", "M", "sb"))
+def _base_lf_init(sigma, Jb, hph, *, Nk, M, sb):
+    """sb*(J_base @ s_k + h) per replica block, [NM, B] f32 (one einsum).
+
+    NOTE: the ring sweep kernel historically threaded the FULL composite lf
+    (base + ring rows); it now threads the base-only lf and re-derives the
+    wrapper extra in-kernel, which keeps one code path for ring and star."""
+    B = sigma.shape[0]
+    s = sigma.reshape(B, M, Nk).astype(jnp.float32)
+    lf = jnp.float32(sb) * jnp.einsum(
+        "ij,bkj->bki", Jb.astype(jnp.float32), s)
+    return (lf.reshape(B, M * Nk) + hph[None, :, 0]).T

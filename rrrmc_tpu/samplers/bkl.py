@@ -150,10 +150,18 @@ def _rejfree_mc(model, beta: float, mode: str, target, step, chains: int,
     if ring:
         Jid = getattr(model.resid_m.base, "J", model.resid_m.base)
         cls = PallasRingRejFree
+        # wrapper constants are static metadata: two composites sharing one
+        # base disorder (a Gamma/gamma ladder) must not share a runner
+        consts = (type(model).__name__, model.M,
+                  float(model.inner_m.scale),
+                  float(getattr(model.inner_m, "gamma", 0.0)),
+                  float(getattr(model.inner_m, "beta_p", 0.0)))
     else:
         Jid = model.Jd if hasattr(model, "Jd") else model.J
         cls = PallasRejectionFree
-    key = (id(Jid), float(beta), mode, chunk_moves, block_chains, ring)
+        consts = ()
+    key = (id(Jid), float(beta), mode, chunk_moves, block_chains, ring,
+           consts)
     ent = _REJFREE_CACHE.get(key)
     if ent is None or ent[0] is not Jid:
         ent = (Jid, cls(model, beta, mode, block_chains=block_chains,

@@ -215,21 +215,23 @@ _RING_SWEEP_CACHE: dict = {}
 def sweepMC_quant(model, beta: float, sweeps: int, *, step: int = 1,
                   chains: int = 1, seed: int = DEFAULT_SEED, C0=None,
                   state: Optional[MCState] = None):
-    """Sequential Metropolis sweeps on a GraphQuant composite via the
-    ring-replica kernel (ops/quant_pallas.py): the Metropolis engine of the
-    paper's QIsing workload (/root/reference/scripts/scripts.jl:766-863) at
-    MXU speed. One sweep = Nk*M attempted flips per chain; energies f32
-    physical. Returns (Es [chains, sweeps // step], final MCState);
-    `accepted` counts accepted flips. chains % 128 == 0.
+    """Sequential Metropolis sweeps on a GraphQuant / GraphRobustEnsemble
+    composite via the replica kernel (ops/quant_pallas.py): the Metropolis
+    engine of the paper's QIsing / REIsing workloads
+    (/root/reference/scripts/scripts.jl:766-963) at MXU speed. One sweep =
+    Nk*M attempted flips per chain; energies f32 physical. Returns
+    (Es [chains, sweeps // step], final MCState); `accepted` counts
+    accepted flips. chains % 128 == 0.
 
-    Kernel-only (no XLA fallback): eligibility = quant_ring_spec(model)
+    Kernel-only (no XLA fallback): eligibility = composite_spec(model)
     (FullyConnected / densifiable base, Nk % 128 == 0, M > 2)."""
     from ..ops.quant_pallas import PallasRingSweeper
     from .common import bound_cache_put, init_aux_batch, set_route
 
     if state is None:
         state = init_state(model, chains, seed, C0)
-    key = (id(model.resid_m.base), float(beta))
+    key = (id(model.resid_m.base), type(model).__name__, model.M,
+           float(beta))
     ent = _RING_SWEEP_CACHE.get(key)
     if ent is None or ent[0] is not model.resid_m.base:
         ent = (model.resid_m.base, PallasRingSweeper(model, float(beta)))
@@ -257,6 +259,10 @@ def sweepMC_quant(model, beta: float, sweeps: int, *, step: int = 1,
     state = MCState(sigma=sigma, aux=aux, E=E.astype(state.E.dtype),
                     key=state.key, accepted=acc)
     return series_to_chain_major(E_series), state
+
+
+#: alias: the same entry point covers GraphRobustEnsemble composites
+sweepMC_replica = sweepMC_quant
 
 
 def _sweep_dense_pallas(model, beta, sweeps, step, seed, state):

@@ -102,11 +102,12 @@ def rrrMC(model: Model, beta: float, iters: int, *, step: int = 1,
                   or (jax.default_backend() != "cpu"
                       and pallas_rejfree_eligible(model, chains)))
         else:
-            # GraphQuant composites: the ring-replica kernel runs the
-            # SingleGraph rrr law on the flat composite (same stationary
-            # distribution as the Double path; ops/quant_pallas.py docstring)
-            from ..ops.quant_pallas import quant_ring_eligible
-            ok = quant_ring_eligible(model, chains) and (
+            # GraphQuant / GraphRobustEnsemble composites: the replica
+            # kernel runs the SingleGraph rrr law on the flat composite
+            # (same stationary distribution as the Double path;
+            # ops/quant_pallas.py docstring)
+            from ..ops.quant_pallas import replica_composite_eligible
+            ok = replica_composite_eligible(model, chains) and (
                 backend == "pallas" or jax.default_backend() != "cpu")
         if ok:
             from .bkl import _rejfree_mc

@@ -127,3 +127,97 @@ def test_ring_wtm_invariant(quant_interp):
     np.testing.assert_allclose(np.asarray(st.E, np.float64), E_re,
                                atol=5e-3)
     assert np.all(np.isfinite(np.asarray(Es)))
+
+
+# ---------------------------------------------------------------------------
+# RE star composites (GraphRobustEnsemble over dense bases): same race /
+# sweep machinery with the ring term swapped for the mu/fk star delta
+# (/root/reference/src/graphs/RE.jl:60-104) — the REIsing workload engines.
+# ---------------------------------------------------------------------------
+
+
+def _skre():
+    import rrrmc_tpu as rt
+
+    return rt.GraphSKRE(128, 4, 2.0, 0.4, seed=991)   # Nk=128 M=4 -> NM=512
+
+
+def test_star_spec_and_eligibility(quant_interp):
+    import rrrmc_tpu as rt
+
+    R = _skre()
+    spec = quant_interp.composite_spec(R)
+    assert spec is not None and spec["term"] == "star"
+    assert len(spec["fk"]) == 4 and spec["c4"] == 0.0
+    assert quant_interp.replica_composite_eligible(R, 128)
+    assert quant_interp.quant_ring_spec(R) is None     # ring-only alias
+    # spec cache distinguishes same-base wrappers with different gamma
+    base = R.resid_m.base
+    R2 = rt.GraphRobustEnsemble(128, 4, 3.0, 0.4, base)
+    s2 = quant_interp.composite_spec(R2)
+    assert tuple(s2["fk"]) != tuple(spec["fk"])
+
+
+def test_star_bkl_invariant_and_law(quant_interp):
+    import rrrmc_tpu as rt
+    from rrrmc_tpu.samplers.common import LAST_ROUTE
+
+    R = _skre()
+    Es, st = rt.bklMC(R, 0.4, iters=30_000, step=300, chains=128, seed=3,
+                      backend="pallas")
+    assert LAST_ROUTE["backend"] == "pallas-rejfree-star"
+    E_re = np.asarray(_recompute(R, st.sigma), np.float64)
+    np.testing.assert_allclose(np.asarray(st.E, np.float64), E_re,
+                               rtol=3e-5, atol=5e-3)
+    assert np.asarray(st.accepted).min() > 0
+    Ex, _ = rt.bklMC(R, 0.4, iters=30_000, step=300, chains=64, seed=4,
+                     backend="xla")
+    a = np.asarray(Es)[:, 40:].mean() / R.N
+    b = np.asarray(Ex)[:, 40:].mean() / R.N
+    assert abs(a - b) < 0.03, (a, b)
+
+
+def test_star_rrr_invariant_and_law(quant_interp):
+    import rrrmc_tpu as rt
+    from rrrmc_tpu.samplers.common import LAST_ROUTE
+
+    R = _skre()
+    Es, st = rt.rrrMC(R, 0.4, iters=20_000, step=200, chains=128, seed=5,
+                      backend="pallas")
+    assert LAST_ROUTE["backend"] == "pallas-rejfree-star"
+    E_re = np.asarray(_recompute(R, st.sigma), np.float64)
+    np.testing.assert_allclose(np.asarray(st.E, np.float64), E_re,
+                               rtol=3e-5, atol=5e-3)
+    # law check from a SHARED equilibrated start (the kernel relaxes much
+    # faster, so window means from random starts differ by dynamics speed,
+    # not by stationary law)
+    Ex, _ = rt.rrrMC(R, 0.4, iters=20_000, step=200, chains=32, seed=6,
+                     backend="xla", C0=np.asarray(st.sigma)[:32])
+    a = np.asarray(Es)[:, 50:].mean() / R.N
+    b = np.asarray(Ex).mean() / R.N
+    assert abs(a - b) < 0.04, (a, b)
+
+
+def test_star_sweep_invariant_law_and_state(quant_interp):
+    import rrrmc_tpu as rt
+
+    R = _skre()
+    Es, st = rt.sweepMC_replica(R, 0.4, sweeps=80, step=4, chains=128,
+                                seed=9)
+    E_re = np.asarray(_recompute(R, st.sigma), np.float64)
+    np.testing.assert_allclose(np.asarray(st.E, np.float64), E_re,
+                               rtol=3e-5, atol=5e-3)
+    assert np.asarray(st.accepted).min() > 0
+    # warm continuation round-trips (threaded base lf + in-kernel mu)
+    Es2, st2 = rt.sweepMC_replica(R, 0.4, sweeps=8, step=8, chains=128,
+                                  seed=11, state=st)
+    E_re2 = np.asarray(_recompute(R, st2.sigma), np.float64)
+    np.testing.assert_allclose(np.asarray(st2.E, np.float64), E_re2,
+                               rtol=3e-5, atol=5e-3)
+    # equilibrium law matches the XLA single-site Metropolis path, from a
+    # SHARED equilibrated start (see the rrr law check above)
+    Em, _ = rt.standardMC(R, 0.4, iters=40_000, step=400, chains=64,
+                          seed=11, C0=np.asarray(st2.sigma)[:64])
+    a = np.asarray(Es)[:, 10:].mean() / R.N
+    b = np.asarray(Em).mean() / R.N
+    assert abs(a - b) < 0.03, (a, b)
