@@ -27,10 +27,22 @@ there are no divergent coordinates and no checkpoint streams; the move count
 is a dynamic SMEM scalar, one compile serves any `iters`.
 
 Model families (same split as ops/rejfree_pallas.py):
-* integer field-free LatticeEA — lf from the lattice roll identity;
+* integer LatticeEA (external fields supported: h rides as the last column
+  of the direction table, added into the roll-identity lf — matches
+  /root/reference/src/graphs/AddFields.jl:16-123 composed onto EA) — lf
+  from the lattice roll identity;
 * integer FullyConnected (|J| <= 127, N <= 4096) — lf from one
   [NP, NP] x [NP, BT] bf16 MXU matmul per move; padding rows are excluded
-  from the rank count, the class, and the race.
+  from the rank count, the class, and the race;
+* float FullyConnected (N <= 2048, J f32 VMEM-resident) — the continuous
+  analog of the reference's EOCacheCont
+  (/root/reference/src/DeltaE.jl:556-635): lf from an f32 MXU matmul, and
+  the binary-search order statistic runs on a MONOTONE int32 sort key of
+  the f32 half values (bitcast b, then b ^ ((b >> 31) & 0x7fffffff) — the
+  classic IEEE-754 total-order trick), so the same integer-domain search
+  serves both dtypes (32 halvings cover the full key range). Ties are
+  bitwise-equal values — a measure-zero event for continuous couplings
+  (except the benign +-0.0 split).
 """
 
 from __future__ import annotations
@@ -54,10 +66,11 @@ _I32_MAX = np.int32(2 ** 31 - 1)
 def _eo_kernel(seed_ref, n_ref, cdf_ref, jp_ref, jm_ref,
                sigma_ref, E_ref, emin_ref, smin_ref, itmin_ref,
                sigma_out, E_out, emin_out, smin_out, itmin_out,
-               *, L, D, BT, t_bits, dense, n_phys):
+               *, L, D, BT, t_bits, dense, n_phys, flt=False):
     """EO chunk: n_ref[0] (dynamic) moves on a [NP, BT] chain block.
 
-    dense=False: jp_ref/jm_ref are the [N, D] lattice direction tables.
+    dense=False: jp_ref/jm_ref are the lattice direction tables; jp_ref is
+    [N, D+1] with the external-field column h in column D.
     dense=True: jp_ref is Jb [NP, NP] bf16, jm_ref is h [NP, 1] int32;
     n_phys < NP rows are frozen padding."""
     seed_p = program_seed(seed_ref[0], pl.program_id(0))
@@ -69,11 +82,15 @@ def _eo_kernel(seed_ref, n_ref, cdf_ref, jp_ref, jm_ref,
         NP = smin_ref.shape[0]
         N = n_phys
 
+        mm_dt = jnp.float32 if flt else jnp.bfloat16
+
         def lf_fn(sig):
             lf = jax.lax.dot_general(
-                jp_ref[:], sig.astype(jnp.bfloat16),
+                jp_ref[:], sig.astype(mm_dt),
                 dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(jnp.int32)
+                preferred_element_type=jnp.float32)
+            if not flt:
+                lf = lf.astype(jnp.int32)
             return lf + jm_ref[:]
     else:
         N = L ** D
@@ -88,7 +105,7 @@ def _eo_kernel(seed_ref, n_ref, cdf_ref, jp_ref, jm_ref,
             return pltpu.roll(x, N - k, axis=0)
 
         def lf_fn(sig):
-            lf = jnp.zeros((N, BT), jnp.int32)
+            lf = jnp.zeros((N, BT), jnp.int32) + jp_ref[:, D][:, None]
             for d, s in enumerate(strides):
                 nb_p = jnp.where(wrap_hi[d],
                                  roll_up(sig, N - s * (L - 1)),
@@ -108,29 +125,39 @@ def _eo_kernel(seed_ref, n_ref, cdf_ref, jp_ref, jm_ref,
 
     def move(m, carry):
         sig, E, emin, smin, itmin = carry
-        half = sig * lf_fn(sig)                       # dE_int = 2*half
+        if flt:
+            half = sig.astype(jnp.float32) * lf_fn(sig)   # dE = 2*half, f32
+            # monotone int32 sort key of an f32: bitcast, then flip the low
+            # 31 bits of negatives (IEEE-754 total order; -0.0 -> -1 < +0.0)
+            b = jax.lax.bitcast_convert_type(half, jnp.int32)
+            hkey = b ^ ((b >> 31) & jnp.int32(0x7FFFFFFF))
+        else:
+            half = sig * lf_fn(sig)                   # dE_int = 2*half
+            hkey = half
         # rank draw: k = #(cdf < u) (padding cdf rows are 2.0, never < u)
         ub = random_bits((1, BT), salt0 + 2 * m)
         u = ub.astype(jnp.float32) * inv32 + half_f
         rank = jnp.sum((cdf_ref[:] < u).astype(jnp.int32), axis=0,
                        keepdims=True)                 # [1, BT] in [0, N-1]
-        # rank-k order statistic by branchless binary search on the value
-        # domain: smallest v with count(half <= v) >= rank + 1
-        hvalid = jnp.where(valid, half, imax)
+        # rank-k order statistic by branchless binary search on the key
+        # domain: smallest v with count(hkey <= v) >= rank + 1
+        hvalid = jnp.where(valid, hkey, imax)
         lo = jnp.min(hvalid, axis=0, keepdims=True) - 1
-        hi = jnp.max(jnp.where(valid, half, -imax), axis=0, keepdims=True)
+        hi = jnp.max(jnp.where(valid, hkey, -imax), axis=0, keepdims=True)
 
         def bstep(_, lh):
             lo, hi = lh
-            mid = (lo + hi) >> 1                      # arithmetic shift: floor
+            # overflow-safe floor((lo + hi) / 2): float keys span most of
+            # the int32 range, so lo + hi can wrap
+            mid = (lo >> 1) + (hi >> 1) + (lo & hi & 1)
             cnt = jnp.sum((hvalid <= mid).astype(jnp.int32),
                           axis=0, keepdims=True)
             ok = cnt >= rank + 1
             return jnp.where(ok, lo, mid + 1), jnp.where(ok, mid, hi)
 
         lo, hi = jax.lax.fori_loop(0, t_bits, bstep, (lo, hi))
-        v = hi                                        # [1, BT] class value
-        members = valid & (half == v)
+        v = hi                                        # [1, BT] class key
+        members = valid & (hkey == v)
         # uniform tie break: iid int32 race over the class members
         r = random_bits((NP, BT), salt0 + 2 * m + 1)
         score = jnp.where(members, jnp.minimum(r, imax - 1), imax)
@@ -138,8 +165,10 @@ def _eo_kernel(seed_ref, n_ref, cdf_ref, jp_ref, jm_ref,
         sel = score == srow
         iwin = jnp.min(jnp.where(sel, iota_nb, NP), axis=0, keepdims=True)
         onehot = iota_nb == iwin
-        dE_i = jnp.sum(jnp.where(onehot, 2 * half, 0), axis=0,
-                       keepdims=True, dtype=jnp.int32)
+        acc_dt = jnp.float32 if flt else jnp.int32
+        dE_i = jnp.sum(jnp.where(onehot, 2 * half,
+                                 jnp.zeros((), acc_dt)),
+                       axis=0, keepdims=True, dtype=acc_dt)
         sig = jnp.where(onehot, -sig, sig)            # unconditional flip
         E = E + dE_i
         better = E < emin                             # [1, BT]
@@ -161,18 +190,19 @@ def _eo_kernel(seed_ref, n_ref, cdf_ref, jp_ref, jm_ref,
 
 
 @partial(jax.jit, static_argnames=("L", "D", "block_chains", "t_bits",
-                                   "dense", "n_phys"))
+                                   "dense", "n_phys", "flt"))
 def _pallas_eo_run(sigma, E, emin, smin, itmin, cdf, A, Bt, seed, n_moves, *,
-                   L, D, block_chains, t_bits, dense, n_phys):
-    """sigma/smin [B, NP] int8, E/emin/itmin [B] int32 -> same, after
-    n_moves (dynamic scalar) EO moves. A/Bt: (Jp, Jm) lattice tables or
-    (Jb bf16 [NP, NP], h [NP, 1]) dense tables."""
+                   L, D, block_chains, t_bits, dense, n_phys, flt=False):
+    """sigma/smin [B, NP] int8, E/emin [B] int32 (flt: f32), itmin [B]
+    int32 -> same, after n_moves (dynamic scalar) EO moves. A/Bt: (Jp, Jm)
+    lattice tables or (Jb bf16/f32 [NP, NP], h [NP, 1]) dense tables."""
     sigmaT, sminT = sigma.T, smin.T
     NP, B = sigmaT.shape
     BT = block_chains
     grid = (B // BT,)
+    et = jnp.float32 if flt else jnp.int32
     kernel = partial(_eo_kernel, L=L, D=D, BT=BT, t_bits=t_bits,
-                     dense=dense, n_phys=n_phys)
+                     dense=dense, n_phys=n_phys, flt=flt)
     row = pl.BlockSpec((1, BT), lambda j: (0, j), memory_space=pltpu.VMEM)
     blk = pl.BlockSpec((NP, BT), lambda j: (0, j), memory_space=pltpu.VMEM)
     whole = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -190,8 +220,8 @@ def _pallas_eo_run(sigma, E, emin, smin, itmin, cdf, A, Bt, seed, n_moves, *,
         out_specs=[blk, row, row, blk, row],
         out_shape=[
             jax.ShapeDtypeStruct((NP, B), jnp.int8),
-            jax.ShapeDtypeStruct((1, B), jnp.int32),
-            jax.ShapeDtypeStruct((1, B), jnp.int32),
+            jax.ShapeDtypeStruct((1, B), et),
+            jax.ShapeDtypeStruct((1, B), et),
             jax.ShapeDtypeStruct((NP, B), jnp.int8),
             jax.ShapeDtypeStruct((1, B), jnp.int32),
         ],
@@ -203,14 +233,16 @@ def _pallas_eo_run(sigma, E, emin, smin, itmin, cdf, A, Bt, seed, n_moves, *,
     return (sig_out.T, E_out[0], emin_out[0], smin_out.T, itmin_out[0])
 
 
-#: dense EO J budget (bf16 [NP, NP] VMEM-resident)
+#: dense EO J budget: bf16 [NP, NP] VMEM-resident (integer couplings) /
+#: f32 (float couplings — tighter: 4 B/entry)
 _EO_DENSE_NP_MAX = 4096
+_EO_DENSE_NP_MAX_F = 2048
 
 
 def pallas_eo_eligible(model, chains: int) -> bool:
     """EO kernel eligibility: narrower than the rejection-free kernels
-    (no HBM-streamed or float variant yet — the binary-search order
-    statistic needs the full half table resident)."""
+    (no HBM-streamed variant — the binary-search order statistic needs the
+    full half table resident, so J must fit VMEM)."""
     from ..models.dense import FullyConnected
     from ..models.lattice import LatticeEA
     from .rejfree_pallas import _dense_rejfree_ok
@@ -219,17 +251,18 @@ def pallas_eo_eligible(model, chains: int) -> bool:
         return False
     if isinstance(model, LatticeEA):
         return (jnp.issubdtype(model.Jd.dtype, jnp.integer)
-                and model.N >= 8
-                and int(jnp.max(jnp.abs(model.h))) == 0)
+                and jnp.issubdtype(model.h.dtype, jnp.integer)
+                and model.N >= 8)
     if isinstance(model, FullyConnected):
-        return (jnp.issubdtype(model.J.dtype, jnp.integer)
-                and model.N <= _EO_DENSE_NP_MAX
-                and _dense_rejfree_ok(model))
+        cap = (_EO_DENSE_NP_MAX
+               if jnp.issubdtype(model.J.dtype, jnp.integer)
+               else _EO_DENSE_NP_MAX_F)
+        return model.N <= cap and _dense_rejfree_ok(model)
     return False
 
 
 class PallasEO:
-    """Reusable EO runner for an integer field-free LatticeEA or integer
+    """Reusable EO runner for an integer LatticeEA (fields OK) or integer
     FullyConnected (|J| <= 127, N <= 4096) model; eligibility is
     `pallas_eo_eligible`. One compile serves any `iters` (dynamic SMEM trip
     count)."""
@@ -244,39 +277,53 @@ class PallasEO:
         self.block_chains = block_chains
         if isinstance(model, LatticeEA):
             assert jnp.issubdtype(model.Jd.dtype, jnp.integer)
-            assert int(jnp.max(jnp.abs(model.h))) == 0, "fields unsupported"
+            assert jnp.issubdtype(model.h.dtype, jnp.integer), \
+                "integer-domain fields only"
+            self.flt = False
             Jp, Jm = _build_dir_tables(model)
-            self.A, self.B = jnp.asarray(Jp), jnp.asarray(Jm)
+            hcol = np.asarray(model.h, np.int32).reshape(-1, 1)
+            Jph = np.concatenate([np.asarray(Jp, np.int32), hcol], axis=1)
+            self.A, self.B = jnp.asarray(Jph), jnp.asarray(Jm)
             self.L, self.D = model.L, model.D
             self.dense = False
             self.NP = model.N
-            max_half = int(np.abs(Jp).sum(axis=1).max()
-                           + np.abs(Jm).sum(axis=1).max())
+            max_half = int((np.abs(Jp).sum(axis=1) + np.abs(Jm).sum(axis=1)
+                            + np.abs(hcol[:, 0])).max())
         else:
             assert isinstance(model, FullyConnected), type(model)
+            self.flt = not jnp.issubdtype(model.J.dtype, jnp.integer)
             NP = -(-model.N // 128) * 128
             J = np.zeros((NP, NP), np.float32)
             J[:model.N, :model.N] = np.asarray(model.J)
-            h = np.zeros((NP, 1), np.int32)
+            ht = np.float32 if self.flt else np.int32
+            h = np.zeros((NP, 1), ht)
             h[:model.N, 0] = np.asarray(model.h)
-            self.A = jnp.asarray(J, jnp.bfloat16)
+            self.A = jnp.asarray(J, jnp.float32 if self.flt
+                                 else jnp.bfloat16)
             self.B = jnp.asarray(h)
             self.L = self.D = 0
             self.dense = True
             self.NP = NP
             max_half = int(np.abs(np.asarray(model.J)).sum(axis=1).max()
                            + np.abs(h).max())
-        # binary-search trip count: |half| <= max_half, searched range
-        # (lo, hi] starts at width 2*max_half + 1
-        self.t_bits = max(1, int(np.ceil(np.log2(2 * max_half + 2))))
+        if self.flt:
+            # float path: the search runs on int32 sort keys spanning (at
+            # most) the full int32 range — 32 halvings always converge
+            self.t_bits = 32
+        else:
+            # binary-search trip count: |half| <= max_half, searched range
+            # (lo, hi] starts at width 2*max_half + 1
+            self.t_bits = max(1, int(np.ceil(np.log2(2 * max_half + 2))))
         cdf = np.full((self.NP, 1), 2.0, np.float32)   # pad rows: never < u
         cdf[:model.N, 0] = _rank_cdf(model.N, float(tau))
         self.cdf = jnp.asarray(cdf)
 
     def run(self, sigma, E, iters: int, seed: int):
-        """sigma [B, N] int8, E [B] int32 (integer-domain energies) ->
-        (sigma', E', Emin, sigma_min, itmin), all integer-domain."""
+        """sigma [B, N] int8, E [B] internal-unit energies (int32 for
+        integer couplings, f32 for float) -> (sigma', E', Emin, sigma_min,
+        itmin), energies in the same internal units."""
         B, n = sigma.shape
+        et = jnp.float32 if self.flt else jnp.int32
         pad = self.NP - n
         if pad:
             padc = jnp.ones((B, pad), jnp.int8)
@@ -284,10 +331,11 @@ class PallasEO:
         smin = sigma
         zeros = jnp.zeros((B,), jnp.int32)
         sig, E, emin, smin, itmin = _pallas_eo_run(
-            sigma, E.astype(jnp.int32), E.astype(jnp.int32), smin, zeros,
+            sigma, E.astype(et), E.astype(et), smin, zeros,
             self.cdf, self.A, self.B,
             jnp.asarray([seed % (2 ** 31)], jnp.int32),
             jnp.asarray([iters], jnp.int32),
             L=self.L, D=self.D, block_chains=self.block_chains,
-            t_bits=self.t_bits, dense=self.dense, n_phys=self.model.N)
+            t_bits=self.t_bits, dense=self.dense, n_phys=self.model.N,
+            flt=self.flt)
         return (sig[:, :n], E, emin, smin[:, :n], itmin)

@@ -979,9 +979,11 @@ class PallasRejectionFree:
 
         if model.N > _LATTICE_DENSE_MAX:
             return None
-        key = id(model.Jd)
+        # h identity matters: field variants share the Jd object and the
+        # densified model carries h
+        key = (id(model.Jd), id(model.h))
         ent = _LATTICE_DENSE_CACHE.get(key)
-        if ent is None or ent[0] is not model.Jd:
+        if ent is None or ent[0] is not model.Jd or ent[2] is not model.h:
             try:
                 md = densify(model)
             except AssertionError:
@@ -991,7 +993,7 @@ class PallasRejectionFree:
                     and jnp.issubdtype(md.h.dtype, jnp.integer)
                     and _dense_rejfree_ok(md)):
                 md = None
-            ent = (model.Jd, md)
+            ent = (model.Jd, md, model.h)
             bound_cache_put(_LATTICE_DENSE_CACHE, key, ent)
         return ent[1]
 

@@ -230,8 +230,14 @@ class PallasSKSweeper:
         assert jnp.issubdtype(model.J.dtype, jnp.integer), \
             "pallas SK sweep requires integer couplings"
         assert int(jnp.max(jnp.abs(model.J))) <= 127
-        assert int(jnp.max(jnp.abs(model.h))) == 0, \
-            "external fields not supported yet"
+        # external fields need NO kernel support: init_lfT seeds lf from
+        # model.local_fields (which includes +h), h is invariant under
+        # flips so the rank-W J corrections keep lf exact, and the decision
+        # dE = 2*s*lf is therefore field-inclusive (AddFields composition,
+        # /root/reference/src/graphs/AddFields.jl:16-123). Integer-domain
+        # only: E and lf are tracked in int32.
+        assert jnp.issubdtype(model.h.dtype, jnp.integer), \
+            "integer-domain fields only"
         from .prng import interpret_mode
         assert window % 128 == 0 or interpret_mode(), \
             "window must be a multiple of 128 (lane-axis slice granularity)"

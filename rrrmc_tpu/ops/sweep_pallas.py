@@ -19,8 +19,10 @@ broadcast across lanes, and all arithmetic is 32-bit (Mosaic's rotate only
 handles 32-bit data). Wraparound on the flattened lattice uses the
 two-roll + wrap-mask identity per direction.
 
-Restricted to integer-coupling, field-free LatticeEA (the benchmark-headline
-family); everything else uses the XLA path. Acceptance matches
+Restricted to integer-coupling LatticeEA (the benchmark-headline family;
+integer external fields ride as the last column of the Jp direction table —
+the AddFields composition, /root/reference/src/graphs/AddFields.jl:16-123);
+everything else uses the XLA path. Acceptance matches
 metropolis_accept (/root/reference/src/RRRMC.jl:39): accept iff dE <= 0 or
 u < exp(-beta dE), with u compared in the signed-int32 domain (no u32->f32
 cast on TPU).
@@ -60,7 +62,8 @@ def _build_dir_tables(model):
 
 
 def _sweep_kernel(seed_ref, ns_ref, beta2s_ref, th_ref, sigma_ref, jp_ref,
-                  jm_ref, sigma_out, dE_out, *, L, D, BT, max_half):
+                  jm_ref, sigma_out, dE_out, *, L, D, BT, max_half,
+                  has_field=False):
     """th_ref [max_half] SMEM: precomputed int32 acceptance thresholds for
     half = sigma*lf in 1..max_half (half <= 0 always accepts). The integer
     local field takes at most 2*D*|J|max+|h| values, so the acceptance
@@ -92,7 +95,14 @@ def _sweep_kernel(seed_ref, ns_ref, beta2s_ref, th_ref, sigma_ref, jp_ref,
         return pltpu.roll(x, N - k, axis=0)
 
     def local_fields(sig):
-        lf = jnp.zeros((N, BT), jnp.int32)
+        # has_field: jp_ref is [N, D+1] with the external-field column h in
+        # column D; h is flip-invariant so the roll identity needs no other
+        # change. Static flag: the field-free headline family pays zero
+        # extra vector work (the add costs ~5% of the EA-3D benchmark).
+        if has_field:
+            lf = jnp.zeros((N, BT), jnp.int32) + jp_ref[:, D][:, None]
+        else:
+            lf = jnp.zeros((N, BT), jnp.int32)
         for d, s in enumerate(strides):
             nb_p = jnp.where(wrap_hi[d],
                              roll_up(sig, N - s * (L - 1)),
@@ -148,15 +158,17 @@ def accept_thresholds(beta2s: float, max_half: int) -> np.ndarray:
                    -2147483648.0, 2147483520.0).astype(np.int32)
 
 
-@partial(jax.jit, static_argnames=("L", "D", "block_chains", "max_half"))
+@partial(jax.jit, static_argnames=("L", "D", "block_chains", "max_half",
+                                   "has_field"))
 def _pallas_sweep(sigma, E, Jp, Jm, seed, n_sweeps, beta2s, th, *, L, D,
-                  block_chains, max_half):
+                  block_chains, max_half, has_field=False):
     # transposes stay inside the jit: the kernel layout is [sites, chains]
     sigmaT = sigma.T
     N, B = sigmaT.shape
     BT = block_chains
     grid = (B // BT,)
-    kernel = partial(_sweep_kernel, L=L, D=D, BT=BT, max_half=max_half)
+    kernel = partial(_sweep_kernel, L=L, D=D, BT=BT, max_half=max_half,
+                     has_field=has_field)
     sig_out, dE = pl.pallas_call(
         kernel,
         grid=grid,
@@ -195,16 +207,20 @@ class PallasSweeper:
         assert jnp.issubdtype(model.Jd.dtype, jnp.integer), \
             "pallas sweep requires integer couplings"
         assert model.L % 2 == 0, "checkerboard requires even L"
-        assert int(jnp.max(jnp.abs(model.h))) == 0, \
-            "pallas sweep does not support external fields yet"
+        assert jnp.issubdtype(model.h.dtype, jnp.integer), \
+            "integer-domain fields only"
         Jp, Jm = _build_dir_tables(model)
-        self.Jp = jnp.asarray(Jp)
+        hcol = np.asarray(model.h, np.int32).reshape(-1, 1)
+        self.has_field = bool(np.any(hcol))
+        self.Jp = jnp.asarray(np.concatenate([Jp, hcol], axis=1)
+                              if self.has_field else Jp)
         self.Jm = jnp.asarray(Jm)
         self.beta2s = jnp.asarray([2.0 * beta * model.scale], jnp.float32)
         # select-chain thresholds only pay off for small level sets;
         # fixed-point couplings (|lf| up to ~1e5 grid units) keep the exp
         # path (max_half=0 disables the table)
-        mh = int(np.abs(Jp).sum(axis=1).max() + np.abs(Jm).sum(axis=1).max())
+        mh = int((np.abs(Jp).sum(axis=1) + np.abs(Jm).sum(axis=1)
+                  + np.abs(hcol[:, 0])).max())
         self.max_half = mh if mh <= 64 else 0
         self.th = jnp.asarray(accept_thresholds(
             2.0 * beta * model.scale, max(self.max_half, 1)))
@@ -229,7 +245,8 @@ class PallasSweeper:
                              jnp.asarray([seed], jnp.int32),
                              jnp.asarray([n_sweeps], jnp.int32), self.beta2s,
                              self.th, L=self.L, D=self.D,
-                             block_chains=bt, max_half=self.max_half)
+                             block_chains=bt, max_half=self.max_half,
+                             has_field=self.has_field)
 
 
 def sweep_ea_pallas(model, beta: float, sigma, E, *, seed: int,

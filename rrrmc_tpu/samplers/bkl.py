@@ -160,14 +160,16 @@ def _rejfree_mc(model, beta: float, mode: str, target, step, chains: int,
         Jid = model.Jd if hasattr(model, "Jd") else model.J
         cls = PallasRejectionFree
         consts = ()
-    key = (id(Jid), float(beta), mode, chunk_moves, block_chains, ring,
-           consts)
+    # h identity matters: field variants share the coupling object
+    hid = getattr(model, "h", None)
+    key = (id(Jid), id(hid), float(beta), mode, chunk_moves, block_chains,
+           ring, consts)
     ent = _REJFREE_CACHE.get(key)
-    if ent is None or ent[0] is not Jid:
-        ent = (Jid, cls(model, beta, mode, block_chains=block_chains,
-                        chunk_moves=chunk_moves))
+    if ent is None or ent[0] is not Jid or ent[1] is not hid:
+        ent = (Jid, hid, cls(model, beta, mode, block_chains=block_chains,
+                             chunk_moves=chunk_moves))
         bound_cache_put(_REJFREE_CACHE, key, ent)
-    rf = ent[1]
+    rf = ent[2]
     wtm = mode == "wtm"
     ct = jnp.float32 if wtm else jnp.int32
     et = jnp.float32 if rf.flt else jnp.int32

@@ -122,10 +122,12 @@ _MODEL_CACHE: dict = {}
 def _model_meta(model) -> dict:
     from .common import bound_cache_put
 
-    key = id(model.J)
+    # h identity matters: field variants built with dataclasses.replace
+    # share the J object but need their own sweepers (h rides the lf seed)
+    key = (id(model.J), id(model.h))
     ent = _MODEL_CACHE.get(key)
-    if ent is None or ent["J"] is not model.J:
-        ent = {"J": model.J,
+    if ent is None or ent["J"] is not model.J or ent["h"] is not model.h:
+        ent = {"J": model.J, "h": model.h,
                "j_max": int(jnp.max(jnp.abs(model.J))),
                "h_max": int(jnp.max(jnp.abs(model.h))),
                "sweepers": {}}
@@ -147,9 +149,9 @@ def _cached_sweeper(model, beta: float):
 def _pallas_dense_eligible(model, chains: int) -> bool:
     meta = _model_meta(model)
     return (jnp.issubdtype(model.J.dtype, jnp.integer)
+            and jnp.issubdtype(model.h.dtype, jnp.integer)
             and chains % 128 == 0
-            and meta["j_max"] <= 127
-            and meta["h_max"] == 0)
+            and meta["j_max"] <= 127)
 
 
 def sweepMC_dense(model: FullyConnected, beta: float, sweeps: int, *,

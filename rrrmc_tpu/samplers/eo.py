@@ -115,13 +115,15 @@ def _eo_pallas(model, tau: float, iters: int, chains: int, seed: int,
 
     assert chains % block_chains == 0, (chains, block_chains)
     Jid = model.Jd if hasattr(model, "Jd") else model.J
-    key = (id(Jid), float(tau), block_chains)
+    # h identity matters: field variants share the coupling object
+    key = (id(Jid), id(model.h), float(tau), block_chains)
     ent = _EO_CACHE.get(key)
-    if ent is None or ent[0] is not Jid:
-        ent = (Jid, PallasEO(model, float(tau), block_chains=block_chains))
+    if ent is None or ent[0] is not Jid or ent[1] is not model.h:
+        ent = (Jid, model.h,
+               PallasEO(model, float(tau), block_chains=block_chains))
         bound_cache_put(_EO_CACHE, key, ent)
-    sigma, E, emin, smin, itmin = ent[1].run(
-        state.sigma, state.E.astype(jnp.int32), iters, seed)
+    sigma, E, emin, smin, itmin = ent[2].run(
+        state.sigma, state.E, iters, seed)
     return EOResult(sigma=sigma, E=_to_phys_batch(model, E.astype(ftype())),
                     Emin=_to_phys_batch(model, emin.astype(ftype())),
                     sigma_min=smin, itmin=itmin)
@@ -134,8 +136,9 @@ def extremal_opt(model: Model, tau: float, iters: int, *, step: int = 1,
     """Ground-state search; returns an EOResult (the analog of the
     reference's (C, Emin, Cmin, itmin) tuple).
 
-    backend: "pallas" / "auto" route integer LatticeEA / FullyConnected
-    models (chains % 128 == 0) through the rank-select kernel
+    backend: "pallas" / "auto" route integer LatticeEA (fields OK) and
+    integer/float FullyConnected models (chains % 128 == 0) through the
+    rank-select kernel
     (ops/eo_pallas.py: per-lane binary-search order statistic + uniform
     tie race, ~2 orders of magnitude over the XLA single-move path);
     "xla" forces the generic path."""

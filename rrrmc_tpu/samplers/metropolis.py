@@ -95,13 +95,16 @@ def _cached_site_sampler(model, beta):
     from ..ops.site_pallas import PallasSiteSampler
     from .common import bound_cache_put
 
-    key = (id(model.neigh), id(model.J), beta)
+    # h identity matters: field variants built with dataclasses.replace
+    # share neigh/J objects, and the sampler seeds lf from its stored model
+    key = (id(model.neigh), id(model.J), id(model.h), beta)
     ent = _SITE_CACHE.get(key)
     if (ent is None or ent[0] is not model.neigh
-            or ent[1] is not model.J):
-        ent = (model.neigh, model.J, PallasSiteSampler(model, beta))
+            or ent[1] is not model.J or ent[2] is not model.h):
+        ent = (model.neigh, model.J, model.h,
+               PallasSiteSampler(model, beta))
         bound_cache_put(_SITE_CACHE, key, ent)
-    return ent[2]
+    return ent[3]
 
 
 @jax.jit

@@ -222,8 +222,8 @@ def _pallas_eligible(model, chains: int) -> bool:
     from ..models.lattice import LatticeEA
     return (isinstance(model, LatticeEA)
             and jnp.issubdtype(model.Jd.dtype, jnp.integer)
+            and jnp.issubdtype(model.h.dtype, jnp.integer)
             and model.L % 2 == 0
-            and int(jnp.max(jnp.abs(model.h))) == 0
             and chains % 128 == 0)
 
 
@@ -238,12 +238,14 @@ def _run_sweepmc_pallas(model, state: MCState, beta, n_ckpt, step, seed):
 
     from .common import bound_cache_put, init_aux_batch, stack_physical
 
-    key = (id(model.Jd), float(beta))
+    # key on BOTH coupling and field identity: field-carrying models can
+    # share a Jd object with their field-free base (dataclasses.replace)
+    key = (id(model.Jd), id(model.h), float(beta))
     ent = _LATTICE_SWEEPERS.get(key)
-    if ent is None or ent[0] is not model.Jd:
-        ent = (model.Jd, PallasSweeper(model, beta))
+    if ent is None or ent[0] is not model.Jd or ent[1] is not model.h:
+        ent = (model.Jd, model.h, PallasSweeper(model, beta))
         bound_cache_put(_LATTICE_SWEEPERS, key, ent)
-    sweeper = ent[1]
+    sweeper = ent[2]
     sigma, E = state.sigma, state.E
     series = []
     for k in range(n_ckpt):

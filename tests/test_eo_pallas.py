@@ -90,6 +90,37 @@ def test_eo_pallas_matches_xla_law(eo_interp):
     assert abs(a - b) < 0.03, (a, b)
 
 
+def test_eo_pallas_lattice_fields(eo_interp):
+    """LatticeEA WITH external fields (the AddFields composition,
+    /root/reference/src/graphs/AddFields.jl) routes to the lattice kernel:
+    exact energy tracking, and a strong uniform field pins the ground
+    state found by EO to all-up."""
+    import dataclasses
+
+    import rrrmc_tpu as rt
+    from rrrmc_tpu.ops.eo_pallas import pallas_eo_eligible
+
+    X0 = rt.GraphEA(4, 2, (-1, 1), seed=11)   # N = 16
+    rng = np.random.RandomState(3)
+    h = rng.randint(-2, 3, size=X0.N)
+    X = dataclasses.replace(X0, h=jnp.asarray(h, X0.h.dtype))
+    assert pallas_eo_eligible(X, 128)
+    res = rt.extremal_opt(X, 1.4, iters=500, chains=128, seed=3,
+                          backend="pallas")
+    np.testing.assert_allclose(np.asarray(res.E), _recompute(X, res.sigma),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(res.Emin),
+                               _recompute(X, res.sigma_min), rtol=1e-6)
+    # dominant uniform field: ground state is all-(+1) regardless of J
+    hbig = jnp.full((X0.N,), 16, X0.h.dtype)
+    Xf = dataclasses.replace(X0, h=hbig)
+    rf = rt.extremal_opt(Xf, 1.5, iters=400, chains=128, seed=7,
+                         backend="pallas")
+    best = np.argmin(np.asarray(rf.Emin))
+    assert np.all(np.asarray(rf.sigma_min)[best] == 1), \
+        "E = -(pair + h*s): h>0 must pin the ground state to all-up"
+
+
 def test_eo_pallas_dense_sk(eo_interp):
     """Dense variant (GraphSK, N=64 padded to 128): invariant + XLA law."""
     import rrrmc_tpu as rt
@@ -106,3 +137,48 @@ def test_eo_pallas_dense_sk(eo_interp):
     a = np.asarray(res.Emin).mean() / X.N
     b = np.asarray(rx.Emin).mean() / X.N
     assert abs(a - b) < 0.04, (a, b)
+
+
+def test_eo_pallas_dense_float(eo_interp):
+    """Float-coupling dense variant (GraphSKNormal — the continuous analog
+    of the reference's EOCacheCont, /root/reference/src/DeltaE.jl:556-635):
+    f32 energy tracking within accumulation tolerance, Emin consistency,
+    and best-energy law agreement with the XLA EO path."""
+    import rrrmc_tpu as rt
+    from rrrmc_tpu.ops.eo_pallas import pallas_eo_eligible
+
+    X = rt.GraphSKNormal(64, seed=3)
+    assert pallas_eo_eligible(X, 128)
+    res = rt.extremal_opt(X, 1.3, iters=600, chains=128, seed=9,
+                          backend="pallas")
+    np.testing.assert_allclose(np.asarray(res.E), _recompute(X, res.sigma),
+                               atol=5e-3)
+    np.testing.assert_allclose(np.asarray(res.Emin),
+                               _recompute(X, res.sigma_min), atol=5e-3)
+    assert np.all(np.asarray(res.Emin) <= np.asarray(res.E) + 5e-3)
+    rx = rt.extremal_opt(X, 1.3, iters=600, chains=64, seed=10,
+                         backend="xla")
+    a = np.asarray(res.Emin).mean() / X.N
+    b = np.asarray(rx.Emin).mean() / X.N
+    assert abs(a - b) < 0.04, (a, b)
+
+
+def test_eo_pallas_float_rank_law(eo_interp):
+    """tau = 8 on a float model: the sort-key order statistic must still
+    pick a minimal-dE site in (almost) every chain — exercises the IEEE
+    bitcast key transform across positive AND negative dE values."""
+    import rrrmc_tpu as rt
+
+    X = rt.GraphSKNormal(16, seed=11)
+    rng = np.random.RandomState(0)
+    C0 = rng.choice(np.array([-1, 1], np.int8), size=X.N)
+    res = rt.extremal_opt(X, 8.0, iters=1, chains=128, seed=13, C0=C0,
+                          backend="pallas")
+    sig = np.asarray(res.sigma)
+    flips = sig != C0[None, :]
+    assert np.all(flips.sum(axis=1) == 1), "exactly one flip per chain"
+    C0j = jnp.asarray(C0)
+    dE = np.asarray(X.delta_all(C0j, X.init_aux(C0j)))
+    picked = dE[np.argmax(flips, axis=1)]
+    n_min = int((np.abs(picked - dE.min()) < 1e-5).sum())
+    assert n_min >= 120, (n_min, picked[:16], dE.min())

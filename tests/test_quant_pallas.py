@@ -202,7 +202,7 @@ def test_star_sweep_invariant_law_and_state(quant_interp):
     import rrrmc_tpu as rt
 
     R = _skre()
-    Es, st = rt.sweepMC_replica(R, 0.4, sweeps=80, step=4, chains=128,
+    Es, st = rt.sweepMC_replica(R, 0.4, sweeps=240, step=8, chains=128,
                                 seed=9)
     E_re = np.asarray(_recompute(R, st.sigma), np.float64)
     np.testing.assert_allclose(np.asarray(st.E, np.float64), E_re,
@@ -215,9 +215,11 @@ def test_star_sweep_invariant_law_and_state(quant_interp):
     np.testing.assert_allclose(np.asarray(st2.E, np.float64), E_re2,
                                rtol=3e-5, atol=5e-3)
     # equilibrium law matches the XLA single-site Metropolis path, from a
-    # SHARED equilibrated start (see the rrr law check above)
+    # SHARED equilibrated start (see the rrr law check above). The RE star
+    # relaxes slowly at beta=0.4: the sweep window must sit past ~160
+    # sweeps or it measures the transient, not the stationary law.
     Em, _ = rt.standardMC(R, 0.4, iters=40_000, step=400, chains=64,
                           seed=11, C0=np.asarray(st2.sigma)[:64])
-    a = np.asarray(Es)[:, 10:].mean() / R.N
+    a = np.asarray(Es)[:, 20:].mean() / R.N
     b = np.asarray(Em).mean() / R.N
     assert abs(a - b) < 0.03, (a, b)

@@ -106,3 +106,36 @@ def test_sk_pallas_boltzmann(sk_interp):
     w = np.exp(-beta * (E_all - E_all.min()))
     E_exact = (w * E_all).sum() / w.sum()
     assert abs(got - E_exact) < 0.15, (got, E_exact)
+
+
+def test_sk_pallas_fields(sk_interp):
+    """External fields (AddFields composition): exact energy/lf invariants
+    AND stationary Boltzmann mean on a field-carrying integer dense model.
+    The kernel needs no h plumbing — lf is seeded field-inclusive by
+    init_lfT and h is flip-invariant under the rank-W J corrections."""
+    import dataclasses
+
+    N, B, beta = 16, 256, 1.0
+    m0 = rt.GraphSK(N, seed=7)
+    rng = np.random.RandomState(9)
+    h = rng.randint(-2, 3, size=N)
+    m = dataclasses.replace(m0, h=jnp.asarray(h, m0.h.dtype))
+    sw = sk_interp.PallasSKSweeper(m, beta, window=N, block_chains=128)
+    st = rt.init_state(m, B, seed=5)
+    sig, E, lfT = sw(st.sigma, st.E.astype(jnp.int32), seed=31, n_sweeps=200)
+    E_re = jax.jit(jax.vmap(m.energy))(sig)
+    np.testing.assert_array_equal(np.asarray(E_re), np.asarray(E))
+    lf_re = jax.jit(lambda s: jax.vmap(m.local_fields)(s).T)(sig)
+    np.testing.assert_array_equal(np.asarray(lf_re), np.asarray(lfT))
+    tot = np.zeros(B, np.float64)
+    reps = 30
+    for r in range(reps):
+        sig, E, lfT = sw(sig, E, seed=200 + r, n_sweeps=10, lfT=lfT)
+        tot += np.asarray(E, np.float64)
+    got = (tot / reps).mean() * m.scale
+    states = unpack_config(jnp.arange(2 ** N, dtype=jnp.int32), N)
+    E_all = np.asarray(jax.jit(jax.vmap(
+        lambda s: m.to_physical(m.energy(s))))(states), np.float64)
+    w = np.exp(-beta * (E_all - E_all.min()))
+    E_exact = (w * E_all).sum() / w.sum()
+    assert abs(got - E_exact) < 0.2, (got, E_exact)
