@@ -166,19 +166,29 @@ def equilibrated_factors(model, beta: float, *, chains: int = 128,
 
     def measure(model_m, call, probe_n):
         """call(n, state_or_None) -> (Es, state); probe (compiles + warms),
-        scale n toward target_s, then one measured run."""
+        scale n toward target_s, then one measured run. The rescale LOOPS:
+        the rejection-free kernels advance in 1024-move chunks, so a short
+        probe's wall-clock is quantized to whole chunks and a single linear
+        extrapolation can under-shoot by the chunk fill factor (the r3 wtm
+        "factor gap" was exactly this artifact — sub-second measured runs
+        covering 1-2 chunks). Re-measuring until the run lasts >= target_s/2
+        makes every committed rate span many chunks."""
         _, st = call(probe_n, None)              # cold: compiles, C0 start
         np.asarray(st.E)
         t0 = time.time()
         _, st = call(probe_n, st)                # warm probe
         np.asarray(st.E)
         dt = max(time.time() - t0, 1e-3)
-        n = int(probe_n * max(1.0, min(target_s / dt, 10_000.0)))
-        acc0 = np.asarray(st.accepted).astype(np.int64)
-        t0 = time.time()
-        _, st2 = call(n, st)                     # measured run
-        np.asarray(st2.E)
-        dt = time.time() - t0
+        n = probe_n
+        for _ in range(6):                       # adaptive rescale
+            n = int(n * max(1.0, min(target_s / dt, 10_000.0)))
+            acc0 = np.asarray(st.accepted).astype(np.int64)
+            t0 = time.time()
+            _, st2 = call(n, st)                 # measured run
+            np.asarray(st2.E)
+            dt = max(time.time() - t0, 1e-3)
+            if dt >= target_s / 2:
+                break
         accd = np.asarray(st2.accepted).astype(np.int64) - acc0
         row = {"backend": LAST_ROUTE.get("backend", "unknown"),
                "nominal_iters": n, "iters_per_s": n / dt, "wall_s": dt,

@@ -233,16 +233,254 @@ def _pallas_eo_run(sigma, E, emin, smin, itmin, cdf, A, Bt, seed, n_moves, *,
     return (sig_out.T, E_out[0], emin_out[0], smin_out.T, itmin_out[0])
 
 
+# ---------------------------------------------------------------------------
+# HBM-streamed variant: FullyConnected models whose J cannot live in VMEM
+# (integer N <= 32768 / float N <= 16384 — the continuous EOCacheCont regime
+# /root/reference/src/DeltaE.jl:556-635 at sizes the dense kernel cannot
+# hold). The order statistic needs the full half table RESIDENT (t_bits
+# counting passes re-read it), but not J: per move, one streamed J pass
+# rebuilds the [NP, BT] search-key table in a VMEM scratch (the
+# rejfree_pallas double-buffered [W, NP] DMA window verbatim), then the rank
+# draw, the value-domain binary search, and the tie race all run VMEM-local.
+#
+# Roofline honesty: EO advances ONE iteration per J pass (no rejection-free
+# time compression), so the move rate is HBM-bound at ~BW / (NP^2 * jbytes)
+# moves/s, amortized over the BT chains of the block — widen the block to
+# amortize (auto_block_chains). For DENSIFIED SPARSE graphs the XLA path's
+# O(deg) incremental local fields beat this streamed recompute; the kernel
+# is for genuinely dense J beyond the VMEM caps.
+# ---------------------------------------------------------------------------
+
+
+def _eo_stream_kernel(seed_ref, n_ref, cdf_ref, h_ref,
+                      sigma_ref, E_ref, emin_ref, smin_ref, itmin_ref,
+                      J_hbm,
+                      sigma_out, E_out, emin_out, smin_out, itmin_out,
+                      sig_s, sigb_s, key_s, jbuf, sem,
+                      *, N, NP, W, BT, t_bits, flt):
+    """Streamed EO chunk: n_ref[0] (dynamic) moves on a [NP, BT] block.
+
+    J_hbm [NP, NP] int8/f32 stays in HBM; jbuf is the [2, W, NP]
+    double-buffered window; key_s holds the per-move search keys (integer
+    half values, or the IEEE-754 monotone int32 sort keys of f32 halves);
+    padding rows are stored as INT32_MAX so no later pass needs a mask."""
+    seed_p = program_seed(seed_ref[0], pl.program_id(0))
+    pltpu.prng_seed(seed_p)
+    salt0 = seed_p * jnp.int32(1000003)
+    n_moves = n_ref[0]
+    n_blk = NP // W
+    total = n_moves * n_blk
+    mm_dt = jnp.float32 if flt else jnp.bfloat16
+    acc_dt = jnp.float32 if flt else jnp.int32
+    imax = jnp.int32(_I32_MAX)
+    inv32 = jnp.float32(2.0 ** -32)
+    half_f = jnp.float32(0.5)
+    iota_nb = jax.lax.broadcasted_iota(jnp.int32, (NP, BT), 0)
+
+    def j_dma(slot, blk):
+        return pltpu.make_async_copy(
+            J_hbm.at[pl.ds(blk * W, W), :], jbuf.at[slot], sem.at[slot])
+
+    j_dma(0, 0).start()
+
+    def key_pass(m):
+        """One streamed J pass: rebuild key_s from the current spins."""
+        sigb_s[:] = sig_s[:].astype(mm_dt)
+
+        def blk(w, _):
+            g = m * n_blk + w
+            slot = g % 2
+
+            @pl.when(g + 1 < total)
+            def _():
+                j_dma((g + 1) % 2, (g + 1) % n_blk).start()
+
+            j_dma(slot, w).wait()
+            base = pl.multiple_of(w * W, W)
+            lfb = jax.lax.dot_general(
+                jbuf[slot].astype(mm_dt), sigb_s[:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if not flt:
+                lfb = lfb.astype(jnp.int32)
+            lfb = lfb + h_ref[pl.ds(base, W), :]
+            iota_b = jax.lax.broadcasted_iota(jnp.int32, (W, BT), 0) + base
+            sig_b = sig_s[pl.ds(base, W), :]
+            if flt:
+                half_b = sig_b.astype(jnp.float32) * lfb
+                b = jax.lax.bitcast_convert_type(half_b, jnp.int32)
+                kb = b ^ ((b >> 31) & jnp.int32(0x7FFFFFFF))
+            else:
+                kb = sig_b * lfb
+            key_s[pl.ds(base, W), :] = jnp.where(iota_b < N, kb, imax)
+            return 0
+
+        jax.lax.fori_loop(0, n_blk, blk, 0)
+
+    def half_of(k):
+        """Invert the sort-key map back to the half value (the key map is an
+        involution for the float path; identity for integers)."""
+        if flt:
+            return jax.lax.bitcast_convert_type(
+                k ^ ((k >> 31) & jnp.int32(0x7FFFFFFF)), jnp.float32)
+        return k
+
+    def move(m, carry):
+        E, emin, itmin = carry
+        key_pass(m)
+        hkey = key_s[:]
+        # rank draw: k = #(cdf < u) (padding cdf rows are 2.0, never < u)
+        ub = random_bits((1, BT), salt0 + 2 * m)
+        u = ub.astype(jnp.float32) * inv32 + half_f
+        rank = jnp.sum((cdf_ref[:] < u).astype(jnp.int32), axis=0,
+                       keepdims=True)
+        # rank-k order statistic: smallest v with count(hkey <= v) >= rank+1
+        # (padding rows hold INT32_MAX: never counted below a real key,
+        # never the winner — rank <= N-1 always lands on a physical value)
+        lo = jnp.min(hkey, axis=0, keepdims=True) - 1
+        hi = jnp.max(jnp.where(hkey == imax, -imax, hkey),
+                     axis=0, keepdims=True)
+
+        def bstep(_, lh):
+            lo, hi = lh
+            mid = (lo >> 1) + (hi >> 1) + (lo & hi & 1)
+            cnt = jnp.sum((hkey <= mid).astype(jnp.int32),
+                          axis=0, keepdims=True)
+            ok = cnt >= rank + 1
+            return jnp.where(ok, lo, mid + 1), jnp.where(ok, mid, hi)
+
+        lo, hi = jax.lax.fori_loop(0, t_bits, bstep, (lo, hi))
+        v = hi
+        members = hkey == v
+        r = random_bits((NP, BT), salt0 + 2 * m + 1)
+        score = jnp.where(members, jnp.minimum(r, imax - 1), imax)
+        srow = jnp.min(score, axis=0, keepdims=True)
+        iwin = jnp.min(jnp.where(score == srow, iota_nb, NP),
+                       axis=0, keepdims=True)
+        onehot = iota_nb == iwin
+        dE_i = jnp.sum(jnp.where(onehot, 2 * half_of(hkey),
+                                 jnp.zeros((), acc_dt)),
+                       axis=0, keepdims=True, dtype=acc_dt)
+        sig_s[:] = jnp.where(onehot, -sig_s[:], sig_s[:])
+        E = E + dE_i
+        better = E < emin
+        emin = jnp.where(better, E, emin)
+        smin_out[:] = jnp.where(better, sig_s[:].astype(jnp.int8),
+                                smin_out[:])
+        itmin = jnp.where(better, m + 1, itmin)
+        return E, emin, itmin
+
+    sig_s[:] = sigma_ref[:].astype(jnp.int32)
+    smin_out[:] = smin_ref[:]
+    E, emin, itmin = jax.lax.fori_loop(
+        0, n_moves, move, (E_ref[:], emin_ref[:], itmin_ref[:]))
+    sigma_out[:] = sig_s[:].astype(jnp.int8)
+    E_out[:] = E
+    emin_out[:] = emin
+    itmin_out[:] = itmin
+
+
+@partial(jax.jit, static_argnames=("block_chains", "t_bits", "n_phys",
+                                   "window", "flt"))
+def _pallas_eo_stream_run(sigma, E, emin, smin, itmin, cdf, hcol, Jhbm,
+                          seed, n_moves, *, block_chains, t_bits, n_phys,
+                          window, flt):
+    """Streamed analog of _pallas_eo_run: sigma/smin [B, NP] int8, Jhbm
+    [NP, NP] int8/f32 in HBM."""
+    sigmaT, sminT = sigma.T, smin.T
+    NP, B = sigmaT.shape
+    BT = block_chains
+    W = window
+    grid = (B // BT,)
+    et = jnp.float32 if flt else jnp.int32
+    mm_dt = jnp.float32 if flt else jnp.bfloat16
+    kernel = partial(_eo_stream_kernel, N=n_phys, NP=NP, W=W, BT=BT,
+                     t_bits=t_bits, flt=flt)
+    row = pl.BlockSpec((1, BT), lambda j: (0, j), memory_space=pltpu.VMEM)
+    blk = pl.BlockSpec((NP, BT), lambda j: (0, j), memory_space=pltpu.VMEM)
+    sig_out, E_out, emin_out, smin_out, itmin_out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # seed
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # n_moves
+            pl.BlockSpec((NP, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),      # cdf
+            pl.BlockSpec((NP, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),      # h
+            blk, row, row, blk, row,
+            pl.BlockSpec(memory_space=pl.ANY),          # J stays in HBM
+        ],
+        out_specs=[blk, row, row, blk, row],
+        out_shape=[
+            jax.ShapeDtypeStruct((NP, B), jnp.int8),
+            jax.ShapeDtypeStruct((1, B), et),
+            jax.ShapeDtypeStruct((1, B), et),
+            jax.ShapeDtypeStruct((NP, B), jnp.int8),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((NP, BT), jnp.int32),            # sig_s
+            pltpu.VMEM((NP, BT), mm_dt),                # sigb_s (matmul rhs)
+            pltpu.VMEM((NP, BT), jnp.int32),            # key_s
+            pltpu.VMEM((2, W, NP), Jhbm.dtype),         # jbuf (double buffer)
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=_INTERPRET,
+    )(seed, n_moves, cdf, hcol, sigmaT, E[None, :], emin[None, :], sminT,
+      itmin[None, :], Jhbm)
+    return (sig_out.T, E_out[0], emin_out[0], smin_out.T, itmin_out[0])
+
+
 #: dense EO J budget: bf16 [NP, NP] VMEM-resident (integer couplings) /
 #: f32 (float couplings — tighter: 4 B/entry)
 _EO_DENSE_NP_MAX = 4096
 _EO_DENSE_NP_MAX_F = 2048
+#: streamed EO caps (match the rejfree stream caps: int8 / f32 J in HBM)
+_EO_STREAM_NP_MAX = 32768
+_EO_STREAM_NP_MAX_F = 16384
+#: streamed EO row-block windows (jbuf 2*W*NP next to three [NP, BT] tables)
+_EO_STREAM_W = 256
+_EO_STREAM_W_F = 128
+
+
+#: VMEM working-set target for EO auto block-chain selection (limit 128MB;
+#: headroom for Mosaic temporaries inside the move loop)
+_EO_VMEM_BUDGET = 96 * 1024 * 1024
+
+
+def auto_eo_block_chains(model, chains: int) -> int:
+    """Chain-block width for the EO kernels. Same measured logic as
+    rejfree_pallas.auto_block_chains: all variants are compute-bound per
+    chain (matmul / VPU counting passes scale with the block) EXCEPT the
+    f32 HBM stream, whose 4 B/element J pass makes the move DMA-bound —
+    that one takes the widest block whose VMEM working set (three [NP, BT]
+    tables + io + the J window) fits."""
+    from ..models.dense import FullyConnected
+
+    N = model.N
+    flt = (isinstance(model, FullyConnected)
+           and not jnp.issubdtype(model.J.dtype, jnp.integer))
+    if not (flt and N > _EO_DENSE_NP_MAX_F):
+        return 128
+    W = _EO_STREAM_W_F
+    NP = -(-N // W) * W
+    fixed = 2 * W * NP * 4
+    per_bt = NP * (16 + 4)
+    for bt in (512, 256, 128):
+        if (bt <= chains and chains % bt == 0
+                and fixed + per_bt * bt <= _EO_VMEM_BUDGET):
+            return bt
+    return 128
 
 
 def pallas_eo_eligible(model, chains: int) -> bool:
-    """EO kernel eligibility: narrower than the rejection-free kernels
-    (no HBM-streamed variant — the binary-search order statistic needs the
-    full half table resident, so J must fit VMEM)."""
+    """EO kernel eligibility: VMEM-resident J up to N<=4096 (int) / 2048
+    (float); beyond that the HBM-streamed variant keeps only the half/key
+    table resident and rebuilds it each move from one streamed J pass
+    (int N <= 32768 / float N <= 16384)."""
     from ..models.dense import FullyConnected
     from ..models.lattice import LatticeEA
     from .rejfree_pallas import _dense_rejfree_ok
@@ -254,16 +492,18 @@ def pallas_eo_eligible(model, chains: int) -> bool:
                 and jnp.issubdtype(model.h.dtype, jnp.integer)
                 and model.N >= 8)
     if isinstance(model, FullyConnected):
-        cap = (_EO_DENSE_NP_MAX
+        cap = (_EO_STREAM_NP_MAX
                if jnp.issubdtype(model.J.dtype, jnp.integer)
-               else _EO_DENSE_NP_MAX_F)
+               else _EO_STREAM_NP_MAX_F)
         return model.N <= cap and _dense_rejfree_ok(model)
     return False
 
 
 class PallasEO:
-    """Reusable EO runner for an integer LatticeEA (fields OK) or integer
-    FullyConnected (|J| <= 127, N <= 4096) model; eligibility is
+    """Reusable EO runner for an integer LatticeEA (fields OK) or a
+    FullyConnected model: integer |J| <= 127 (VMEM-resident J up to N=4096,
+    HBM-streamed beyond, up to N=32768) or float couplings (VMEM up to
+    N=2048, HBM-streamed up to N=16384); eligibility is
     `pallas_eo_eligible`. One compile serves any `iters` (dynamic SMEM trip
     count)."""
 
@@ -275,6 +515,7 @@ class PallasEO:
         assert model.N >= 8, "sublane tiling needs N >= 8"
         self.model = model
         self.block_chains = block_chains
+        self.kind = "lattice"
         if isinstance(model, LatticeEA):
             assert jnp.issubdtype(model.Jd.dtype, jnp.integer)
             assert jnp.issubdtype(model.h.dtype, jnp.integer), \
@@ -292,20 +533,38 @@ class PallasEO:
         else:
             assert isinstance(model, FullyConnected), type(model)
             self.flt = not jnp.issubdtype(model.J.dtype, jnp.integer)
-            NP = -(-model.N // 128) * 128
-            J = np.zeros((NP, NP), np.float32)
-            J[:model.N, :model.N] = np.asarray(model.J)
+            self.L = self.D = 0
+            dense_cap = _EO_DENSE_NP_MAX_F if self.flt else _EO_DENSE_NP_MAX
+            if model.N <= dense_cap:
+                NP = -(-model.N // 128) * 128
+                J = np.zeros((NP, NP), np.float32)
+                J[:model.N, :model.N] = np.asarray(model.J)
+                self.A = jnp.asarray(J, jnp.float32 if self.flt
+                                     else jnp.bfloat16)
+                self.dense = True
+                self.kind = "dense"
+            else:
+                # HBM-streamed: pad N to a window multiple; J stays int8
+                # (cast to bf16 post-DMA, exact) or f32
+                W = _EO_STREAM_W_F if self.flt else _EO_STREAM_W
+                NP = -(-model.N // W) * W
+                jd = np.float32 if self.flt else np.int8
+                J = np.zeros((NP, NP), jd)
+                J[:model.N, :model.N] = np.asarray(model.J).astype(jd)
+                self.A = jnp.asarray(J)
+                self.window = W
+                self.dense = True
+                self.kind = "stream"
             ht = np.float32 if self.flt else np.int32
             h = np.zeros((NP, 1), ht)
             h[:model.N, 0] = np.asarray(model.h)
-            self.A = jnp.asarray(J, jnp.float32 if self.flt
-                                 else jnp.bfloat16)
             self.B = jnp.asarray(h)
-            self.L = self.D = 0
-            self.dense = True
             self.NP = NP
-            max_half = int(np.abs(np.asarray(model.J)).sum(axis=1).max()
-                           + np.abs(h).max())
+            # float path never derives search bounds from a coupling sum
+            # (int truncation would make the bound wrong); keep it None
+            max_half = (None if self.flt else
+                        int(np.abs(np.asarray(model.J)).sum(axis=1).max()
+                            + np.abs(h).max()))
         if self.flt:
             # float path: the search runs on int32 sort keys spanning (at
             # most) the full int32 range — 32 halvings always converge
@@ -330,12 +589,21 @@ class PallasEO:
             sigma = jnp.concatenate([sigma, padc], axis=1)
         smin = sigma
         zeros = jnp.zeros((B,), jnp.int32)
-        sig, E, emin, smin, itmin = _pallas_eo_run(
-            sigma, E.astype(et), E.astype(et), smin, zeros,
-            self.cdf, self.A, self.B,
-            jnp.asarray([seed % (2 ** 31)], jnp.int32),
-            jnp.asarray([iters], jnp.int32),
-            L=self.L, D=self.D, block_chains=self.block_chains,
-            t_bits=self.t_bits, dense=self.dense, n_phys=self.model.N,
-            flt=self.flt)
+        if self.kind == "stream":
+            sig, E, emin, smin, itmin = _pallas_eo_stream_run(
+                sigma, E.astype(et), E.astype(et), smin, zeros,
+                self.cdf, self.B, self.A,
+                jnp.asarray([seed % (2 ** 31)], jnp.int32),
+                jnp.asarray([iters], jnp.int32),
+                block_chains=self.block_chains, t_bits=self.t_bits,
+                n_phys=self.model.N, window=self.window, flt=self.flt)
+        else:
+            sig, E, emin, smin, itmin = _pallas_eo_run(
+                sigma, E.astype(et), E.astype(et), smin, zeros,
+                self.cdf, self.A, self.B,
+                jnp.asarray([seed % (2 ** 31)], jnp.int32),
+                jnp.asarray([iters], jnp.int32),
+                L=self.L, D=self.D, block_chains=self.block_chains,
+                t_bits=self.t_bits, dense=self.dense, n_phys=self.model.N,
+                flt=self.flt)
         return (sig[:, :n], E, emin, smin[:, :n], itmin)

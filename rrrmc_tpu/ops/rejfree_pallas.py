@@ -764,7 +764,7 @@ def _pallas_rejfree_stream_chunk(sigma, E, coord, acc, zacc, Jhbm, hcol,
             row,                                        # coord
             row,                                        # acc
             row,                                        # zacc
-            pl.BlockSpec(memory_space=pltpu.ANY),       # J stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),          # J stays in HBM
         ],
         out_specs=[
             pl.BlockSpec((NP, BT), lambda j: (0, j), memory_space=pltpu.VMEM),
@@ -836,6 +836,262 @@ def rejfree_stream_run(Jhbm, hcol, beta2s, sigma, E, coord, Es, seed0,
     return sigma[:, :n_phys], E, coord, Es, acc, zacc
 
 
+# ---------------------------------------------------------------------------
+# Sparse variant: ANY padded-neighbor-table Pairwise model (GraphRRG — the
+# reference's flagship rejection-free workload — RRG/EA file graphs,
+# Ising1D; integer or float couplings). This is the TPU answer to the
+# reference's O(deg) caches (/root/reference/src/DeltaE.jl:63-230,299-410):
+# the local-field table lives RESIDENT in VMEM across moves and each flip
+# updates it with K full-table vector passes — no J matrix, no matmul, no
+# gather:
+#
+#     lf += J_col_k * where(nbr_col_k == winner_row, d_row, 0)   (k < K)
+#
+# where nbr_col_k[j] = j's k-th neighbor and J_col_k[j] = its coupling (the
+# Pairwise [N, K] tables used as INVERSE maps: j receives the winner's flip
+# exactly when the winner is one of j's neighbors — symmetric edges are
+# stored twice, so this is the exact lf scatter of models/pairwise.py:77-85
+# with the scatter replaced by a broadcast compare). Per move the race, the
+# log-sum-exp z, the flip, and the O(K) update are ALL fused [NP, BT] VPU
+# passes (~15 + 3K), so the move cost is independent of any J matrix:
+# measured on RRG N=1e4 K=3 (v5e, BT=128): rrr 4.3e6 moves*chains/s (10.3x
+# the HBM-streamed dense kernel, whose 2 J passes/move sit at the DMA/MXU
+# roofline — see docs/tpu.md); bkl 2.3e10 / wtm 2.2e10 virtual
+# iters*chains/s at beta=4 (8.9x the streamed kernel).
+#
+# Exactness: integer couplings keep int32 lf/E with NO drift (the update is
+# integer); float couplings carry f32 lf with O(deg) rounding per applied
+# move — the same budget as the XLA float path and the site kernel. The
+# race/z math is the shifted log-domain of the other variants (exact at any
+# beta).
+# ---------------------------------------------------------------------------
+
+
+def _rejfree_sparse_kernel(seed_ref, beta2s_ref, target_ref, nbr_ref, jc_ref,
+                           sigma_ref, lf_ref, E_ref, coord_ref, acc_ref,
+                           zacc_ref,
+                           sigma_out, lf_out, E_out, coord_out, acc_out,
+                           zacc_out, cs_out, es_out,
+                           *, N, NP, K, BT, n_moves, mode, flt):
+    """One chunk of `n_moves` race-selected moves on a [NP, BT] block with a
+    RESIDENT local-field table.
+
+    nbr_ref [NP, K] int32 (sentinel entries == N never match a winner row
+    < N), jc_ref [NP, K] int32/f32 (0 on padding); lf_ref/lf_out [NP, BT]
+    carry the table across chunks (integer models: exact int32, no drift).
+    Rows >= N are frozen padding excluded from the race and from z."""
+    wtm = mode == "wtm"
+    seed_p = program_seed(seed_ref[0], pl.program_id(0))
+    pltpu.prng_seed(seed_p)
+    salt0 = seed_p * jnp.int32(1000003)
+    beta2s = beta2s_ref[0]
+    target = target_ref[0]
+    iota_nb = jax.lax.broadcasted_iota(jnp.int32, (NP, BT), 0)
+    valid = iota_nb < N
+    lt = jnp.float32 if flt else jnp.int32
+    inv32 = jnp.float32(2.0 ** -32)
+    half_f = jnp.float32(0.5)
+    inf = jnp.float32(3.0e38)
+    log_n = jnp.log(jnp.float32(N))
+
+    def to_uniform(rb):
+        return rb.astype(jnp.float32) * inv32 + half_f
+
+    # hoisted loop constants: per-k neighbor / coupling columns [NP, 1]
+    nbr_cols = [nbr_ref[:, k][:, None] for k in range(K)]
+    jc_cols = [jc_ref[:, k][:, None] for k in range(K)]
+
+    def logz_of(sig, lf):
+        """Shifted log-sum-exp of -bE over valid rows: (bE, log z)."""
+        half = (sig.astype(lt) if flt else sig) * lf
+        bE = beta2s * jnp.maximum(half, 0).astype(jnp.float32)
+        m = jnp.min(jnp.where(valid, bE, inf), axis=0, keepdims=True)
+        zs = jnp.sum(jnp.where(valid, jnp.exp(m - bE), 0.0),
+                     axis=0, keepdims=True)
+        return half, bE, jnp.log(zs) - m
+
+    def move(m, carry):
+        sig, lf, E, coord, acc, zacc = carry
+        active = coord < target                       # [1, BT]
+        half, bE, logz = logz_of(sig, lf)
+        u = to_uniform(random_bits((NP, BT), salt0 + 3 * m))
+        score = jnp.where(valid, jnp.log(-jnp.log(u)) + bE, inf)
+        mrow = jnp.min(score, axis=0, keepdims=True)  # [1, BT]
+        irow = jnp.min(jnp.where(score == mrow, iota_nb, NP),
+                       axis=0, keepdims=True)
+        onehot = iota_nb == irow                      # exact single winner
+        dE_i = jnp.sum(jnp.where(onehot, 2 * half, jnp.zeros((), lt)),
+                       axis=0, keepdims=True, dtype=lt)
+        z_over_n = jnp.exp(logz - log_n)
+        zacc = zacc + jnp.where(active, z_over_n, jnp.float32(0.0))
+        # winner's spin row -> the O(deg) lf update via inverse columns
+        d_row = jnp.sum(jnp.where(onehot, -2 * sig, 0), axis=0,
+                        keepdims=True).astype(lt)     # [1, BT]
+        delta = jnp.zeros((NP, BT), lt)
+        for k in range(K):
+            delta = delta + jc_cols[k] * jnp.where(
+                nbr_cols[k] == irow, d_row, jnp.zeros((), lt))
+        if mode == "rrr":
+            # staged z': the hypothetically flipped state's table is just
+            # lf + delta (and the winner's own row is unchanged: no self
+            # coupling) — no second pass over anything but the table
+            sig2 = jnp.where(onehot, -sig, sig)
+            _, _, logz2 = logz_of(sig2, lf + delta)
+            ua = to_uniform(random_bits((1, BT), salt0 + 3 * m + 1))
+            do = active & (jnp.log(ua) < logz - logz2)
+            sig = jnp.where(onehot & do, -sig, sig)
+            lf = lf + jnp.where(do, delta, jnp.zeros((), lt))
+            E = E + jnp.where(do, dE_i, jnp.zeros((), lt))
+            coord = coord + jnp.where(active, 1, 0)
+            acc = acc + do.astype(jnp.int32)
+        else:
+            sig = jnp.where(onehot & active, -sig, sig)
+            lf = lf + jnp.where(active, delta, jnp.zeros((), lt))
+            E = E + jnp.where(active, dE_i, jnp.zeros((), lt))
+            acc = acc + active.astype(jnp.int32)
+        if wtm:
+            coord = coord + jnp.where(active, jnp.exp(mrow),
+                                      jnp.float32(0.0))
+        elif mode == "bkl":
+            u2 = to_uniform(random_bits((1, BT), salt0 + 3 * m + 2))
+            skip = _geom_skip(u2, z_over_n)
+            coord = coord + jnp.where(active, skip + 1, 0)
+        cs_out[pl.ds(m, 1), :] = coord
+        es_out[pl.ds(m, 1), :] = E
+        return sig, lf, E, coord, acc, zacc
+
+    sig0 = sigma_ref[:].astype(jnp.int32)
+    sig, lf, E, coord, acc, zacc = jax.lax.fori_loop(
+        0, n_moves, move,
+        (sig0, lf_ref[:], E_ref[:], coord_ref[:], acc_ref[:], zacc_ref[:]))
+    sigma_out[:] = sig.astype(jnp.int8)
+    lf_out[:] = lf
+    E_out[:] = E
+    coord_out[:] = coord
+    acc_out[:] = acc
+    zacc_out[:] = zacc
+
+
+@partial(jax.jit, static_argnames=("n_phys", "block_chains", "n_moves",
+                                   "mode"))
+def _pallas_rejfree_sparse_chunk(sigma, lfT, E, coord, acc, zacc, nbr, jc,
+                                 seed, beta2s, target, *, n_phys,
+                                 block_chains, n_moves, mode):
+    """sigma [B, NP] int8 (rows >= n_phys are +1 padding), lfT [NP, B]
+    int32/f32 (site-major local fields, pad rows 0), nbr/jc [NP, K]."""
+    sigmaT = sigma.T
+    NP, B = sigmaT.shape
+    K = nbr.shape[1]
+    BT = block_chains
+    grid = (B // BT,)
+    flt = not jnp.issubdtype(jc.dtype, jnp.integer)
+    et = jnp.float32 if flt else jnp.int32
+    ct = jnp.float32 if mode == "wtm" else jnp.int32
+    kernel = partial(_rejfree_sparse_kernel, N=n_phys, NP=NP, K=K, BT=BT,
+                     n_moves=n_moves, mode=mode, flt=flt)
+    row = pl.BlockSpec((1, BT), lambda j: (0, j), memory_space=pltpu.VMEM)
+    blk = pl.BlockSpec((NP, BT), lambda j: (0, j), memory_space=pltpu.VMEM)
+    stream = pl.BlockSpec((n_moves, BT), lambda j: (0, j),
+                          memory_space=pltpu.VMEM)
+    (sig_out, lf_out, E_out, coord_out, acc_out, zacc_out,
+     cs, es) = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # seed
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # beta2s
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # target
+            pl.BlockSpec((NP, K), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),      # nbr
+            pl.BlockSpec((NP, K), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),      # jc
+            blk,                                        # sigma
+            blk,                                        # lf
+            row, row, row, row,
+        ],
+        out_specs=[blk, blk, row, row, row, row, stream, stream],
+        out_shape=[
+            jax.ShapeDtypeStruct((NP, B), jnp.int8),
+            jax.ShapeDtypeStruct((NP, B), et),
+            jax.ShapeDtypeStruct((1, B), et),
+            jax.ShapeDtypeStruct((1, B), ct),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+            jax.ShapeDtypeStruct((1, B), jnp.float32),
+            jax.ShapeDtypeStruct((n_moves, B), ct),
+            jax.ShapeDtypeStruct((n_moves, B), et),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=_INTERPRET,
+    )(seed, beta2s, target, nbr, jc, sigmaT, lfT,
+      E[None, :].astype(et), coord[None, :].astype(ct),
+      acc[None, :], zacc[None, :])
+    return (sig_out.T, lf_out, E_out[0], coord_out[0], acc_out[0],
+            zacc_out[0], cs, es)
+
+
+@partial(jax.jit, static_argnames=("np_",))
+def _sparse_prep(model, sigma, np_):
+    """Padded ([B, NP] spins, [NP, B] local fields) for a sparse-kernel
+    chunk call (module-level jit; see samplers/common.init_lfT)."""
+    lfT = jax.vmap(model.local_fields)(sigma).T
+    dt = (jnp.int32 if jnp.issubdtype(lfT.dtype, jnp.integer)
+          else jnp.float32)
+    lfT = lfT.astype(dt)
+    pad = np_ - sigma.shape[1]
+    if pad:
+        B = sigma.shape[0]
+        sigma = jnp.concatenate(
+            [sigma, jnp.ones((B, pad), jnp.int8)], axis=1)
+        lfT = jnp.concatenate([lfT, jnp.zeros((pad, B), dt)], axis=0)
+    return sigma, lfT
+
+
+@partial(jax.jit, static_argnames=("n_phys", "bt", "chunk_moves", "mode"))
+def rejfree_sparse_run(nbr, jc, lfT, beta2s, sigma, E, coord, Es, seed0,
+                       target, step, scale, *, n_phys, bt, chunk_moves,
+                       mode):
+    """Sparse analog of `rejfree_dense_run`: whole hookless run in ONE jit.
+    sigma is the UNPADDED [B, N] state; lfT the matching [NP, B] local-field
+    table (site-major, computed once by the caller)."""
+    from ..samplers.bkl import _fill_checkpoints
+
+    NP = nbr.shape[0]
+    B = sigma.shape[0]
+    pad = NP - n_phys
+    if pad:
+        sigma = jnp.concatenate(
+            [sigma, jnp.ones((B, pad), jnp.int8)], axis=1)
+        lfT = jnp.concatenate(
+            [lfT, jnp.zeros((pad, B), lfT.dtype)], axis=0)
+    target_arr = target.reshape(1)
+    acc = jnp.zeros((B,), jnp.int32)
+    zacc = jnp.zeros((B,), jnp.float32)
+
+    def cond(carry):
+        coord = carry[3]
+        return jnp.min(coord) < target
+
+    def body(carry):
+        sigma, lfT, E, coord, acc, zacc, Es, k = carry
+        seed = (seed0 + k * jnp.int32(7919)).reshape(1)
+        x_start = coord
+        e_start = E.astype(Es.dtype) * scale
+        sigma, lfT, E, coord, acc, zacc, cs, es = \
+            _pallas_rejfree_sparse_chunk(
+                sigma, lfT, E, coord, acc, zacc, nbr, jc, seed, beta2s,
+                target_arr, n_phys=n_phys, block_chains=bt,
+                n_moves=chunk_moves, mode=mode)
+        Es = _fill_checkpoints(Es, step, x_start, e_start, cs,
+                               es.astype(Es.dtype) * scale)
+        return sigma, lfT, E, coord, acc, zacc, Es, k + 1
+
+    k0 = jnp.zeros((), jnp.int32)
+    sigma, lfT, E, coord, acc, zacc, Es, _ = jax.lax.while_loop(
+        cond, body, (sigma, lfT, E, coord, acc, zacc, Es, k0))
+    return sigma[:, :n_phys], E, coord, Es, acc, zacc
+
+
 #: dense rejfree J budget: bf16 [NP, NP] must fit VMEM beside the state
 #: and stream buffers (128MB scoped limit); above it, the HBM-streamed
 #: variant takes over
@@ -852,6 +1108,42 @@ _STREAM_NP_MAX_F = 16384
 #: streamed row-block windows (int8 jbuf 2*W*NP vs f32 4x larger)
 _STREAM_W = 512
 _STREAM_W_F = 128
+
+#: VMEM working-set target for auto block-chain selection: under the 100MB
+#: scoped limit with headroom for Mosaic temporaries
+_VMEM_BUDGET = 88 * 1024 * 1024
+
+
+def auto_block_chains(model, chains: int, *, chunk_moves: int = 1024) -> int:
+    """Chain-block width for the rejection-free kernels.
+
+    Measured on v5e (round 4, /tmp bt probes -> docs/tpu.md): every variant
+    except the FLOAT HBM stream is compute-bound PER CHAIN — the per-move
+    matmul (dense/int-stream: at the MXU roofline, e.g. int8-stream rrr
+    N=1e4 runs 91% of the overlapped DMA+MXU speed-of-light at BT=128 and
+    BT=512 measured 0.95x aggregate) or the VPU race passes (lattice/
+    sparse) scale with the block width, so widening buys nothing: BT=128
+    stays optimal. The f32 stream is the exception: its J window is 4
+    B/element, making the move DMA-bound (measured rrr f32 N=1e4: BT=512 =
+    3.7x the BT=128 aggregate), so it takes the widest block whose VMEM
+    working set NP*BT*(8 + 4) + jbuf + streams fits."""
+    from ..models.dense import FullyConnected
+
+    N = model.N
+    flt = (isinstance(model, FullyConnected)
+           and not jnp.issubdtype(model.J.dtype, jnp.integer))
+    if not flt:
+        return 128
+    W = _STREAM_W_F
+    NP = -(-N // W) * W
+    fixed = 2 * W * NP * 4
+    per_bt = 12 * NP + 16 * chunk_moves
+    for bt in (512, 256, 128):
+        if (bt <= chains and chains % bt == 0
+                and fixed + per_bt * bt <= _VMEM_BUDGET):
+            return bt
+    return 128
+
 
 #: id(J)-keyed memo for the dense eligibility host checks (avoids an O(N^2)
 #: device->host pull per bklMC/wtmMC call)
@@ -878,15 +1170,46 @@ def _dense_rejfree_ok(model) -> bool:
             ok = bool(np.abs(J).max() <= 127
                       and np.abs(J).sum(axis=1).max() < (1 << 24))
         else:
-            ok = bool(np.all(np.isfinite(np.asarray(model.J))))
+            ok = bool(np.all(np.isfinite(np.asarray(model.J)))
+                      and np.all(np.isfinite(np.asarray(model.h))))
         ent = (model.J, ok)
         bound_cache_put(_DENSE_OK_CACHE, key, ent)
+    return ent[1]
+
+
+#: sparse-kernel caps: the move loop keeps ~12 live [NP, BT] arrays (lf,
+#: sig, race temps, delta) — N*BT*48B + io must fit the 128MB scoped limit
+_SPARSE_N_MAX = 16384
+_SPARSE_K_MAX = 16
+
+#: id(J)-keyed memo for the sparse float-finiteness host check
+_SPARSE_OK_CACHE: dict = {}
+
+
+def _sparse_rejfree_ok(model) -> bool:
+    from ..models.pairwise import Pairwise
+    from ..samplers.common import bound_cache_put
+
+    if not (isinstance(model, Pairwise)
+            and 8 <= model.N <= _SPARSE_N_MAX
+            and model.K <= _SPARSE_K_MAX):
+        return False
+    if jnp.issubdtype(model.J.dtype, jnp.integer):
+        return jnp.issubdtype(model.h.dtype, jnp.integer)
+    key = id(model.J)
+    ent = _SPARSE_OK_CACHE.get(key)
+    if ent is None or ent[0] is not model.J:
+        ok = bool(np.all(np.isfinite(np.asarray(model.J)))
+                  and np.all(np.isfinite(np.asarray(model.h))))
+        ent = (model.J, ok)
+        bound_cache_put(_SPARSE_OK_CACHE, key, ent)
     return ent[1]
 
 
 def pallas_rejfree_eligible(model, chains: int) -> bool:
     from ..models.dense import FullyConnected
     from ..models.lattice import LatticeEA
+    from ..models.pairwise import Pairwise
 
     if chains % 128 != 0:
         return False
@@ -896,15 +1219,18 @@ def pallas_rejfree_eligible(model, chains: int) -> bool:
                 and model.N >= 8)
     if isinstance(model, FullyConnected):
         return _dense_rejfree_ok(model)
+    if isinstance(model, Pairwise):
+        return _sparse_rejfree_ok(model)
     from .quant_pallas import quant_ring_eligible
     return quant_ring_eligible(model, chains)
 
 
 class PallasRejectionFree:
-    """Reusable rejection-free runner for an integer LatticeEA (fields OK)
-    or a FullyConnected model: integer |J| <= 127 (VMEM-resident J up to
+    """Reusable rejection-free runner for an integer LatticeEA (fields OK),
+    a FullyConnected model — integer |J| <= 127 (VMEM-resident J up to
     N=4096, HBM-streamed beyond, up to N=32768) or float couplings
-    (HBM-streamed f32, up to N=16384).
+    (HBM-streamed f32, up to N=16384) — or ANY sparse Pairwise model up to
+    N=16384, K<=16 (resident-lf inverse-column kernel, int or float J).
 
     mode = "bkl" (virtual-iteration coordinate), "wtm" (global time) or
     "rrr" (one iteration per move, staged z/z' acceptance)."""
@@ -913,6 +1239,7 @@ class PallasRejectionFree:
                  block_chains: int = 128, chunk_moves: int = 1024):
         from ..models.dense import FullyConnected
         from ..models.lattice import LatticeEA
+        from ..models.pairwise import Pairwise
 
         assert mode in ("bkl", "wtm", "rrr")
         assert model.N >= 8, "sublane tiling needs N >= 8"
@@ -921,6 +1248,22 @@ class PallasRejectionFree:
         self.block_chains = block_chains
         self.chunk_moves = chunk_moves
         self.flt = False
+        if isinstance(model, Pairwise) and not isinstance(model, LatticeEA) \
+                and not isinstance(model, FullyConnected):
+            assert _sparse_rejfree_ok(model), \
+                "sparse rejfree needs a Pairwise model, N<=16384, K<=16"
+            self.flt = not jnp.issubdtype(model.J.dtype, jnp.integer)
+            NP = -(-model.N // 8) * 8
+            nbr = np.full((NP, model.K), model.N, np.int32)
+            nbr[:model.N] = np.asarray(model.neigh)
+            jd = np.float32 if self.flt else np.int32
+            jc = np.zeros((NP, model.K), jd)
+            jc[:model.N] = np.asarray(model.J).astype(jd)
+            self.nbr = jnp.asarray(nbr)
+            self.jc = jnp.asarray(jc)
+            self.NP = NP
+            self.kind = "sparse"
+            return
         if isinstance(model, LatticeEA):
             assert jnp.issubdtype(model.Jd.dtype, jnp.integer)
             assert jnp.issubdtype(model.h.dtype, jnp.integer)
@@ -1001,6 +1344,14 @@ class PallasRejectionFree:
         """Whole hookless run (while_loop over kernel chunks, one jit).
         Returns (sigma, E, coord, Es, acc, zacc): acc = applied flips per
         chain, zacc = summed z/N over moves (acceptance diagnostics)."""
+        if self.kind == "sparse":
+            from ..samplers.common import init_lfT
+
+            return rejfree_sparse_run(
+                self.nbr, self.jc, init_lfT(self.model, sigma), self.beta2s,
+                sigma, E, coord, Es, seed, target, step, scale,
+                n_phys=self.model.N, bt=self.block_chains,
+                chunk_moves=self.chunk_moves, mode=self.mode)
         if self.kind == "lattice":
             return rejfree_run(
                 self.Jp, self.Jm, self.hcol, self.beta2s, sigma, E, coord,
@@ -1029,6 +1380,15 @@ class PallasRejectionFree:
             acc = jnp.zeros((B,), jnp.int32)
         if zacc is None:
             zacc = jnp.zeros((B,), jnp.float32)
+        if self.kind == "sparse":
+            sigp, lfT = _sparse_prep(self.model, sigma, self.NP)
+            sig, lfT, E, coord, acc, zacc, cs, es = \
+                _pallas_rejfree_sparse_chunk(
+                    sigp, lfT, E, coord, acc, zacc, self.nbr, self.jc,
+                    jnp.asarray([seed], jnp.int32), self.beta2s, tgt,
+                    n_phys=self.model.N, block_chains=self.block_chains,
+                    n_moves=self.chunk_moves, mode=self.mode)
+            return sig[:, :self.model.N], E, coord, acc, zacc, cs, es
         if self.kind == "lattice":
             return _pallas_rejfree_chunk(
                 sigma, E, coord, acc, zacc, self.Jp, self.Jm, self.hcol,

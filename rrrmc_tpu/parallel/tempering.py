@@ -25,7 +25,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..core.struct import pytree, static
 from ..core.dtypes import ftype
@@ -133,7 +133,7 @@ def _run_pt(model, masks, betas, state: PTState, base_key,
             step_fn, mesh=mesh,
             in_specs=(state_spec, repl, repl),
             out_specs=(state_spec, sh),
-            check_rep=False)
+            check_vma=False)
 
     def body(carry, i):
         state = carry

@@ -134,19 +134,29 @@ _REJFREE_CACHE: dict = {}
 
 def _rejfree_mc(model, beta: float, mode: str, target, step, chains: int,
                 seed: int, state: MCState, n_ckpt: int,
-                chunk_moves: int = 1024, block_chains: int = 128):
+                chunk_moves: int = 1024, block_chains: int | None = None):
     """Shared Pallas rejection-free driver for bklMC / wtmMC / rrrMC on
     integer LatticeEA / FullyConnected models (VMEM or HBM-streamed by
     size; float couplings stream with f32 energies). Hookless only.
     `accepted` counts applied flips (kernel acc output); the per-chain
-    summed z/N diagnostic lands in samplers.common.LAST_ROUTE."""
+    summed z/N diagnostic lands in samplers.common.LAST_ROUTE.
+
+    block_chains=None picks the measured-best chain block
+    (ops.rejfree_pallas.auto_block_chains): 128 everywhere except the
+    DMA-bound f32 HBM stream, which takes the widest VMEM-fitting block
+    (3.7x aggregate at BT=512, measured r4)."""
     import jax.numpy as jnp
     from ..ops.quant_pallas import PallasRingRejFree, quant_ring_eligible
-    from ..ops.rejfree_pallas import PallasRejectionFree
+    from ..ops.rejfree_pallas import PallasRejectionFree, auto_block_chains
     from .common import bound_cache_put, init_aux_batch, set_route
 
-    assert chains % block_chains == 0, (chains, block_chains)
     ring = quant_ring_eligible(model, chains)
+    if block_chains is None:
+        # ring/star composite kernels keep their measured default; the
+        # budget model in auto_block_chains covers the plain variants
+        block_chains = 128 if ring else auto_block_chains(
+            model, chains, chunk_moves=chunk_moves)
+    assert chains % block_chains == 0, (chains, block_chains)
     if ring:
         Jid = getattr(model.resid_m.base, "J", model.resid_m.base)
         cls = PallasRingRejFree
@@ -201,7 +211,8 @@ def _series_buffer(model, state: MCState, n_ckpt: int, observer):
 def bklMC(model: Model, beta: float, iters: int, *, step: int = 1,
           chains: int = 1, seed: int = DEFAULT_SEED, C0=None,
           chunk_moves: int = 512, hook=None, observer=None,
-          state: Optional[MCState] = None, backend: str = "auto"):
+          state: Optional[MCState] = None, backend: str = "auto",
+          block_chains: Optional[int] = None):
     """Rejection-free BKL; `iters` counts virtual (rejected-inclusive)
     iterations. Returns (Es [chains, iters // step], final MCState).
     hook(it, model, state) -> False stops early (called once per chunk).
@@ -210,11 +221,13 @@ def bklMC(model: Model, beta: float, iters: int, *, step: int = 1,
     checkpoints take the observable in effect at the checkpoint coordinate
     exactly as energies do.
 
-    backend: "pallas" / "auto" route hookless observer-less runs on integer
-    LatticeEA / eligible FullyConnected models (chains % 128 == 0,
-    iters <= 1e9) through the rejection-free race kernel
-    (ops/rejfree_pallas.py: VMEM-resident or HBM-streamed by J size; float
-    couplings stream with f32 energies; ~50-100x the XLA single-move path);
+    backend: "pallas" / "auto" route hookless observer-less runs on sparse
+    Pairwise (N <= 16384, K <= 16, int or float J — resident-lf inverse-
+    column kernel, the fastest route for RRG-class graphs), integer
+    LatticeEA, and eligible FullyConnected models (chains % 128 == 0,
+    iters <= 1e9) through the rejection-free race kernels
+    (ops/rejfree_pallas.py: sparse / lattice / VMEM-dense / HBM-streamed by
+    structure and J size; float couplings carry f32 energies);
     "xla" forces the generic path."""
     from .common import set_route
 
@@ -227,7 +240,8 @@ def bklMC(model: Model, beta: float, iters: int, *, step: int = 1,
         if backend == "pallas" or (jax.default_backend() != "cpu"
                                    and pallas_rejfree_eligible(model, chains)):
             return _rejfree_mc(model, float(beta), "bkl", iters, step,
-                               chains, seed, state, n_ckpt)
+                               chains, seed, state, n_ckpt,
+                               block_chains=block_chains)
     set_route("xla")
     Es = _series_buffer(model, state, n_ckpt, observer)
     it = jnp.zeros(chains, jnp.int64 if jax.config.jax_enable_x64 else jnp.int32)

@@ -109,10 +109,12 @@ _EO_CACHE: dict = {}
 
 
 def _eo_pallas(model, tau: float, iters: int, chains: int, seed: int,
-               state: MCState, block_chains: int = 128) -> EOResult:
-    from ..ops.eo_pallas import PallasEO
+               state: MCState, block_chains=None) -> EOResult:
+    from ..ops.eo_pallas import PallasEO, auto_eo_block_chains
     from .common import bound_cache_put
 
+    if block_chains is None:
+        block_chains = auto_eo_block_chains(model, chains)
     assert chains % block_chains == 0, (chains, block_chains)
     Jid = model.Jd if hasattr(model, "Jd") else model.J
     # h identity matters: field variants share the coupling object
@@ -132,15 +134,19 @@ def _eo_pallas(model, tau: float, iters: int, chains: int, seed: int,
 def extremal_opt(model: Model, tau: float, iters: int, *, step: int = 1,
                  chains: int = 1, seed: int = DEFAULT_SEED, C0=None,
                  state: Optional[MCState] = None,
-                 backend: str = "auto") -> EOResult:
+                 backend: str = "auto",
+                 block_chains: Optional[int] = None) -> EOResult:
     """Ground-state search; returns an EOResult (the analog of the
     reference's (C, Emin, Cmin, itmin) tuple).
 
     backend: "pallas" / "auto" route integer LatticeEA (fields OK) and
     integer/float FullyConnected models (chains % 128 == 0) through the
-    rank-select kernel
-    (ops/eo_pallas.py: per-lane binary-search order statistic + uniform
-    tie race, ~2 orders of magnitude over the XLA single-move path);
+    rank-select kernel (ops/eo_pallas.py: per-lane binary-search order
+    statistic + uniform tie race; VMEM-resident J for integer N <= 4096 /
+    float N <= 2048, HBM-streamed beyond up to int 32768 / float 16384 —
+    one streamed J pass per move rebuilds the resident key table, so the
+    streamed rate is HBM-bound at ~BW/(N^2 jbytes) per chain block; for
+    SPARSE graphs the XLA O(deg) path is faster than densify+stream);
     "xla" forces the generic path."""
     if state is None:
         state = init_state(model, chains, seed, C0)
@@ -148,7 +154,8 @@ def extremal_opt(model: Model, tau: float, iters: int, *, step: int = 1,
         from ..ops.eo_pallas import pallas_eo_eligible
         if backend == "pallas" or (jax.default_backend() != "cpu"
                                    and pallas_eo_eligible(model, chains)):
-            return _eo_pallas(model, float(tau), iters, chains, seed, state)
+            return _eo_pallas(model, float(tau), iters, chains, seed, state,
+                              block_chains=block_chains)
     cdf = jnp.asarray(_rank_cdf(model.N, float(tau)))
     sigma, E, Emin, smin, itmin = _eo_run_xla(model, cdf, state, iters)
     return EOResult(sigma=sigma, E=_to_phys_batch(model, E),

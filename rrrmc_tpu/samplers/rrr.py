@@ -73,20 +73,23 @@ def rrrMC(model: Model, beta: float, iters: int, *, step: int = 1,
           chains: int = 1, seed: int = DEFAULT_SEED, C0=None,
           observer=None, hook=None, hook_every: int = 10,
           state: Optional[MCState] = None, backend: str = "auto",
-          staged_thr: float = None, staged_thr_fact: float = 5.0):
+          staged_thr: float = None, staged_thr_fact: float = 5.0,
+          block_chains: Optional[int] = None):
     """Reduced-rejection-rate MC; same call surface as standardMC.
 
     Returns (Es [chains, iters // step], final MCState).
 
     backend: "pallas" / "auto" route hookless observer-less runs on SINGLE
-    (non-Double) integer LatticeEA / eligible FullyConnected models through
-    the race-select + staged-z' kernel (ops/rejfree_pallas.py mode="rrr":
-    two local-field passes per move, z/z' acceptance in a shifted log
-    domain; VMEM-resident or HBM-streamed by J size; float couplings stream
-    with f32 energies; ~50-100x the XLA single-move path). Double models
-    (Quant/RE wrappers) keep the XLA path — rt.flatten() + rt.densify() a
-    pairwise-representable wrapper stack to put it on the kernel. "xla"
-    forces the generic path."""
+    (non-Double) models through the race-select + staged-z' kernels
+    (ops/rejfree_pallas.py mode="rrr", z/z' acceptance in a shifted log
+    domain): sparse Pairwise (N <= 16384, K <= 16 — resident-lf kernel
+    with O(deg) staged z', ~10x the dense streamed kernel on RRG N=1e4),
+    integer LatticeEA, and eligible FullyConnected models (VMEM-resident
+    or HBM-streamed by J size; float couplings carry f32 energies). Double
+    models (Quant/RE wrappers) keep the XLA path — rt.flatten() +
+    rt.densify() a pairwise-representable wrapper stack, or use the
+    replica-composite kernels (ops/quant_pallas.py). "xla" forces the
+    generic path."""
     from .common import set_route
 
     del staged_thr, staged_thr_fact  # kernel-identical branches; see docstring
@@ -112,7 +115,8 @@ def rrrMC(model: Model, beta: float, iters: int, *, step: int = 1,
         if ok:
             from .bkl import _rejfree_mc
             return _rejfree_mc(model, float(beta), "rrr", iters, step,
-                               chains, seed, state, iters // step)
+                               chains, seed, state, iters // step,
+                               block_chains=block_chains)
     set_route("xla")
     state, series = run_with_hook(model, state, float(beta), make_rrr_step,
                                   iters // step, step, observer,

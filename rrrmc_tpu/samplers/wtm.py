@@ -136,17 +136,20 @@ def _wtm_run(model, beta, tmax, step_t, chunk_moves, state: MCState,
 def wtmMC(model: Model, beta: float, samples: int, *, step: float = 1.0,
           chains: int = 1, seed: int = DEFAULT_SEED, C0=None,
           chunk_moves: int = 512, hook=None, observer=None,
-          state: Optional[MCState] = None, backend: str = "auto"):
+          state: Optional[MCState] = None, backend: str = "auto",
+          block_chains: Optional[int] = None):
     """Waiting-time method; collects up to `samples` checkpoints spaced
     `step` (scaled by 1/N) in global time. Returns (Es [chains, samples],
     final MCState). hook(t, model, state) -> False stops early.
     observer(model, sigma, aux, E) replaces checkpoint energies with any
     per-chain observable (snapshots for the overlap pipeline etc.).
 
-    backend: "pallas" / "auto" route hookless observer-less runs on integer
-    LatticeEA / eligible FullyConnected models (chains % 128 == 0) through
-    the rejection-free race kernel (ops/rejfree_pallas.py: VMEM-resident or
-    HBM-streamed by J size; float couplings stream with f32 energies);
+    backend: "pallas" / "auto" route hookless observer-less runs on sparse
+    Pairwise (N <= 16384, K <= 16 — resident-lf inverse-column kernel),
+    integer LatticeEA, and eligible FullyConnected models
+    (chains % 128 == 0) through the rejection-free race kernels
+    (ops/rejfree_pallas.py: sparse / lattice / VMEM-dense / HBM-streamed by
+    structure and J size; float couplings carry f32 energies);
     "xla" forces the generic path."""
     from .common import set_route
 
@@ -161,7 +164,8 @@ def wtmMC(model: Model, beta: float, samples: int, *, step: float = 1.0,
                                    and pallas_rejfree_eligible(model, chains)):
             from .bkl import _rejfree_mc
             return _rejfree_mc(model, float(beta), "wtm", tmax, step_t,
-                               chains, seed, state, samples)
+                               chains, seed, state, samples,
+                               block_chains=block_chains)
     set_route("xla")
     key_times = jax.vmap(
         lambda k: jax.random.fold_in(k, 0x77777))(state.key)

@@ -1,13 +1,24 @@
 """Subprocess worker for scripts/multihost_eff.py: joins a P-process CPU
-distributed runtime (2 virtual devices each), pins itself to one core (so P
-processes on one machine emulate P single-core hosts without thread
-oversubscription), runs the weak-scaling workloads, and writes process 0's
-measured rates to JSON.
+distributed runtime, pins itself to a core (P processes on one machine
+emulate P single-core hosts without thread oversubscription), runs the
+weak-scaling workloads, and writes process 0's measured rates to JSON.
 
 Workloads (per process, constant — weak scaling):
   * chains: chain-sharded sweepMC, CHAINS_PER_DEV chains per device;
   * pt: parallel tempering with the temperature ladder sharded over all
-    devices (2 rungs per process; swaps are cross-process collectives).
+    devices (swaps are cross-process collectives).
+
+Device topology: P in {1, 2} gets 2 virtual devices per process (honest
+weak scaling on this 2-core box). P=4 gets 1 device per process — the SAME
+4 global devices and total work as P=2, only split across twice the
+processes: its rate vs P=2's isolates the cross-process collective overhead
+at constant compute (a 2-core box cannot weak-scale 4 processes honestly;
+the driver reports p4/p2 as "pt_p4_vs_p2").
+
+Warm-up calls use IDENTICAL static arguments to the timed calls: jit caches
+key on (n_rounds, sweeps, step, ...), so a warm-up at a different round
+count would leave the timed call paying a full compile (this exact bug made
+the r3 pt efficiency read 78%).
 """
 
 import json
@@ -20,7 +31,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 CHAINS_PER_DEV = 16
 N_SWEEPS = 60
-PT_ROUNDS = 4
+PT_ROUNDS = 8
 PT_SWEEPS_PER_ROUND = 25   # amortizes the per-round swap collective (the
                            # production regime: swap attempts every O(10)
                            # sweeps, not every move)
@@ -31,12 +42,14 @@ def main():
     nprocs = int(sys.argv[2])
     port = sys.argv[3]
     outfile = sys.argv[4]
+    dev_per_proc = 2 if nprocs <= 2 else 4 // nprocs
 
     try:
         os.sched_setaffinity(0, {proc_id % os.cpu_count()})
     except OSError:
         pass
-    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={dev_per_proc}")
     import jax
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
@@ -50,17 +63,17 @@ def main():
         dist.initialize(coordinator_address=f"127.0.0.1:{port}",
                         num_processes=nprocs, process_id=proc_id)
     n_dev = jax.device_count()
-    assert n_dev == 2 * nprocs, (n_dev, nprocs)
+    assert n_dev == dev_per_proc * nprocs, (n_dev, nprocs)
 
     X = rt.GraphEA(6, 3, (-1, 1), seed=3)        # N = 216
     chains = CHAINS_PER_DEV * n_dev
 
     # --- chain-sharded sweeps (embarrassingly parallel SPMD) ---
     mesh = dist.global_mesh()
-    _, st = dist.sample_distributed(rt.sweepMC, X, 1.5, 5, step=5,
-                                    chains=chains, mesh=mesh, seed=5,
-                                    backend="xla")
-    dist.fetch_global(st.E, mesh)                # warm + barrier
+    _, st = dist.sample_distributed(rt.sweepMC, X, 1.5, N_SWEEPS,
+                                    step=N_SWEEPS, chains=chains, mesh=mesh,
+                                    seed=5, backend="xla")
+    dist.fetch_global(st.E, mesh)                # warm + barrier (same jit)
     t0 = time.time()
     _, st = dist.sample_distributed(rt.sweepMC, X, 1.5, N_SWEEPS,
                                     step=N_SWEEPS, chains=chains, mesh=mesh,
@@ -72,10 +85,11 @@ def main():
     # --- parallel tempering, ladder sharded over every device ---
     mesh_t = dist.global_mesh({"temp": n_dev})
     betas = np.linspace(0.5, 2.0, n_dev)
-    _, _, _ = parallel_tempering(X, betas, 2,
-                                 sweeps_per_round=PT_SWEEPS_PER_ROUND,
-                                 chains=CHAINS_PER_DEV, seed=7, mesh=mesh_t,
-                                 axis="temp")
+    _, ranks_w, _ = parallel_tempering(X, betas, PT_ROUNDS,
+                                       sweeps_per_round=PT_SWEEPS_PER_ROUND,
+                                       chains=CHAINS_PER_DEV, seed=7,
+                                       mesh=mesh_t, axis="temp")
+    dist.fetch_global(ranks_w, mesh_t)           # warm + barrier (same jit)
     t0 = time.time()
     EsP, ranks, _ = parallel_tempering(X, betas, PT_ROUNDS,
                                        sweeps_per_round=PT_SWEEPS_PER_ROUND,

@@ -13,7 +13,12 @@ Sections (select with argv, default "all"):
               (/root/reference/scripts/scripts.jl:30-37,163-166: Met 3.7-4.5x,
               BKL 95-6083x, WTM 53-3375x on a serial CPU).
 
-Usage: python scripts/bench_all.py [kernels|factors|all] [out.json]
+  factors_sparse - the same construction with the rejection-free samplers
+              on the sparse resident-lf kernel (no densify) — the closest
+              analog of the reference's O(deg)-cache engines.
+  factors_chains - chain-count sensitivity of the densified table at beta=4.
+
+Usage: python scripts/bench_all.py [kernels|factors|factors_sparse|factors_chains|all] [out.json]
 """
 
 import json
@@ -278,6 +283,66 @@ def bench_rrr_stream():
             "beta": beta, "moves_chains_per_s": n * B / dt}
 
 
+def bench_rrr_stream_f32_wide():
+    """Streamed f32 rrr at the auto block width: the f32 J window is
+    DMA-bound, so BT=512 measures ~3.7x the BT=128 aggregate (r4) — the one
+    streamed variant where widening the chain block pays."""
+    B, beta = 512, 2.0
+    X = rt.densify(rt.GraphRRGNormal(10_000, 3, seed=167))
+
+    def call(n, st):
+        kwa = {"state": st} if st is not None else {"seed": 3}
+        _, st2 = rt.rrrMC(X, beta, iters=int(n), step=int(n), chains=B,
+                          backend="pallas", **kwa)
+        return st2
+
+    n, dt, st = _probe_scaled(call, 2_000)
+    E_re = sync(_recompute_E(X, st.sigma)).astype(np.float64)
+    assert np.allclose(E_re, sync(st.E).astype(np.float64), atol=0.5)
+    from rrrmc_tpu.samplers.common import LAST_ROUTE
+    return {"kernel": "rrr_rrgnormal1e4_stream_bt512", "N": X.N,
+            "chains": B, "beta": beta,
+            "backend": LAST_ROUTE.get("backend"),
+            "moves_chains_per_s": n * B / dt}
+
+
+def bench_sparse(mode, float_j):
+    """Sparse resident-lf race kernel on the UNDENSIFIED GraphRRG N=1e4 —
+    the flagship workload on the kernel that mirrors the reference's O(deg)
+    caches (rejfree_pallas._rejfree_sparse_kernel)."""
+    B = 128
+    if float_j:
+        X = rt.GraphRRGNormal(10_000, 3, seed=167)
+        name = f"{mode}_rrgnormal1e4_sparse"
+    else:
+        X = rt.GraphRRG(10_000, 3, (-1, 1), seed=7)
+        name = f"{mode}_rrg1e4_sparse"
+    beta = 2.0 if mode == "rrr" else 4.0
+
+    def call(n, st):
+        kwa = {"state": st} if st is not None else {"seed": 3}
+        if mode == "wtm":
+            _, st2 = rt.wtmMC(X, beta, 10, step=n / 10, chains=B,
+                              backend="pallas", **kwa)
+        else:
+            fn = rt.rrrMC if mode == "rrr" else rt.bklMC
+            _, st2 = fn(X, beta, iters=int(n), step=int(n), chains=B,
+                        backend="pallas", **kwa)
+        return st2
+
+    n, dt, st = _probe_scaled(call, 20_000 if mode == "rrr" else 500_000)
+    E_re = sync(_recompute_E(X, st.sigma)).astype(np.float64)
+    if float_j:
+        assert np.allclose(E_re, sync(st.E).astype(np.float64), atol=0.5)
+    else:
+        assert int(np.max(np.abs(E_re - sync(st.E)))) == 0
+    from rrrmc_tpu.samplers.common import LAST_ROUTE
+    unit = ("moves_chains_per_s" if mode == "rrr"
+            else "virtual_iters_chains_per_s")
+    return {"kernel": name, "N": X.N, "chains": B, "beta": beta,
+            "backend": LAST_ROUTE.get("backend"), unit: n * B / dt}
+
+
 def bench_eo(dense):
     """EO rank-select kernel: moves*chains/s (1 move = 1 iteration; chains
     advance in lockstep so a fresh run per rep is representative)."""
@@ -302,6 +367,39 @@ def bench_eo(dense):
             "best_E_per_spin": float(np.min(sync(r.Emin)) / X.N)}
 
 
+def bench_eo_stream():
+    """HBM-streamed EO (ops/eo_pallas._eo_stream_kernel): SKNormal N=4096 —
+    float J beyond the 2048 VMEM cap. One streamed J pass per move rebuilds
+    the resident key table, so the move rate is HBM-bound at
+    ~BW / (NP^2 * 4B), amortized over the (auto-wide, DMA-bound f32) chain
+    block."""
+    B, tau = 512, 1.4
+    X = rt.GraphSKNormal(4096, seed=4)
+
+    def call(n, r0):
+        # EO chains advance in lockstep; thread the final config as C0
+        kwa = {"C0": np.asarray(sync(r0.sigma))} if r0 is not None else {}
+        r = rt.extremal_opt(X, tau, iters=int(n), chains=B, seed=5,
+                            backend="pallas", **kwa)
+        sync(r.E)
+        return r
+
+    import time as _t
+    r = call(500, None)
+    t0 = _t.time()
+    r = call(500, r)
+    dt = max(_t.time() - t0, 1e-3)
+    n = int(500 * max(1.0, min(8.0 / dt, 10_000.0)))
+    t0 = _t.time()
+    r = call(n, r)
+    dt = _t.time() - t0
+    E_re = sync(_recompute_E(X, r.sigma)).astype(np.float64) * X.scale
+    assert np.allclose(E_re, sync(r.E), atol=1e-2)
+    return {"kernel": "eo_sknormal4096_stream", "N": X.N, "chains": B,
+            "tau": tau, "moves_chains_per_s": n * B / dt,
+            "best_E_per_spin": float(np.min(sync(r.Emin)) / X.N)}
+
+
 def kernels_section(done=(), checkpoint=None):
     out = [r for r in done]
     have = {r["kernel"] for r in out}
@@ -310,7 +408,11 @@ def kernels_section(done=(), checkpoint=None):
              "single_site_metropolis", "rejfree_bkl", "rejfree_wtm",
              "rejfree_bkl_dense_sk", "rejfree_bkl_rrg1e4_stream",
              "rejfree_bkl_sknormal_stream", "rrr_rrg1e4_stream",
-             "rrr_ea3d", "rrr_dense_sk", "eo_ea3d", "eo_dense_sk"]
+             "rrr_rrgnormal1e4_stream_bt512",
+             "rrr_rrg1e4_sparse", "bkl_rrg1e4_sparse", "wtm_rrg1e4_sparse",
+             "rrr_rrgnormal1e4_sparse", "bkl_rrgnormal1e4_sparse",
+             "rrr_ea3d", "rrr_dense_sk", "eo_ea3d", "eo_dense_sk",
+             "eo_sknormal4096_stream"]
     for name, fn in zip(names, (bench_ea3d_sweep,
                lambda: bench_dense("sk_dense_vmem", rt.GraphSK(1024, seed=4)),
                lambda: bench_dense("sk_dense_hbm_streamed",
@@ -326,10 +428,17 @@ def kernels_section(done=(), checkpoint=None):
                lambda: bench_rejfree_stream(False),
                lambda: bench_rejfree_stream(True),
                bench_rrr_stream,
+               bench_rrr_stream_f32_wide,
+               lambda: bench_sparse("rrr", False),
+               lambda: bench_sparse("bkl", False),
+               lambda: bench_sparse("wtm", False),
+               lambda: bench_sparse("rrr", True),
+               lambda: bench_sparse("bkl", True),
                lambda: bench_rrr(False),
                lambda: bench_rrr(True),
                lambda: bench_eo(False),
-               lambda: bench_eo(True))):
+               lambda: bench_eo(True),
+               bench_eo_stream)):
         if name in have:
             continue
         r = fn()
@@ -362,6 +471,48 @@ def factors_section():
     return out
 
 
+def factors_sparse_section():
+    """Same equal-wallclock construction with the rejection-free samplers on
+    the SPARSE resident-lf kernel (no densify) — the construction that
+    matches the reference's O(deg)-cache engines most closely (its rrr/bkl/
+    wtm run on the sparse RRG, /root/reference/src/DeltaE.jl:63-230). The
+    factor RATIOS are engine-independent physics; the absolute iters_per_s
+    columns here are the ~10x round-4 sparse-kernel rates."""
+    from rrrmc_tpu.experiments import equilibrated_factors
+
+    N, chains = 10_000, 128
+    out = []
+    for name, builder in [
+            ("rrg_pmJ", lambda: rt.GraphRRG(N, 3, (-1, 1), seed=167)),
+            ("rrg_normal", lambda: rt.GraphRRGNormal(N, 3, seed=167))]:
+        X = builder()
+        for beta in (2.0, 3.0, 4.0):
+            row = equilibrated_factors(X, beta, chains=chains, densified=X)
+            row["graph"] = name
+            row["kernel"] = "sparse"
+            print(json.dumps(row), flush=True)
+            out.append(row)
+    return out
+
+
+def factors_chain_scaling_section():
+    """Chain-count sensitivity of the densified factor table at beta=4
+    (VERDICT r3 item 10): the committed single-block rows must not be an
+    artifact of the 128-chain regime."""
+    from rrrmc_tpu.experiments import equilibrated_factors
+
+    N = 10_000
+    X = rt.GraphRRG(N, 3, (-1, 1), seed=167)
+    Xd = rt.densify(X)
+    out = []
+    for chains in (128, 512, 1024):
+        row = equilibrated_factors(X, 4.0, chains=chains, densified=Xd)
+        row["graph"] = "rrg_pmJ"
+        print(json.dumps(row), flush=True)
+        out.append(row)
+    return out
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     path = sys.argv[2] if len(sys.argv) > 2 else "bench_all_results.json"
@@ -379,8 +530,18 @@ def main():
 
     if which in ("kernels", "all"):
         res["kernels"] = kernels_section(done, checkpoint)
+        with open(path, "w") as f:
+            json.dump(res, f, indent=1)
     if which in ("factors", "all"):
         res["factors"] = factors_section()
+        with open(path, "w") as f:
+            json.dump(res, f, indent=1)
+    if which in ("factors_sparse", "all"):
+        res["factors_sparse"] = factors_sparse_section()
+        with open(path, "w") as f:
+            json.dump(res, f, indent=1)
+    if which in ("factors_chains", "all"):
+        res["factors_chains_beta4"] = factors_chain_scaling_section()
     with open(path, "w") as f:
         json.dump(res, f, indent=1)
     print(f"wrote {path}")

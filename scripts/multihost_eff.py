@@ -48,22 +48,32 @@ def run_p(nprocs: int) -> dict:
 def main():
     path = sys.argv[1] if len(sys.argv) > 1 else "MULTIHOST_eff.json"
     rows = {}
-    for nprocs in (1, 2):
+    for nprocs in (1, 2, 4):
         r = run_p(nprocs)
         rows[str(nprocs)] = r
         print(json.dumps(r), flush=True)
     base = rows["1"]
-    res = {"method": "weak scaling, P spawned CPU processes x 2 virtual "
-                     "devices, 1 pinned core each; constant work per device",
+    res = {"method": "weak scaling, P in {1,2} spawned CPU processes x 2 "
+                     "virtual devices, 1 pinned core each, constant work "
+                     "per device. P=4 runs 1 device/process — the SAME 4 "
+                     "devices and work as P=2 split across twice the "
+                     "processes (a 2-core box cannot weak-scale 4 "
+                     "processes); pt_p4_vs_p2 isolates the cross-process "
+                     "collective overhead at constant compute",
            "rows": rows,
            "efficiency": {}}
-    for p_str, r in rows.items():
-        p = int(p_str)
+    for p_str in ("1", "2"):
+        p, r = int(p_str), rows[p_str]
         res["efficiency"][p_str] = {
             "chains": r["chains_flips_per_s"]
             / (p * base["chains_flips_per_s"]),
             "pt": r["pt_flips_per_s"] / (p * base["pt_flips_per_s"]),
         }
+    res["efficiency"]["4_vs_2_same_devices"] = {
+        "chains": rows["4"]["chains_flips_per_s"]
+        / rows["2"]["chains_flips_per_s"],
+        "pt": rows["4"]["pt_flips_per_s"] / rows["2"]["pt_flips_per_s"],
+    }
     print(json.dumps(res["efficiency"]))
     with open(path, "w") as f:
         json.dump(res, f, indent=1)

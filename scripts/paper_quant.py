@@ -15,9 +15,11 @@ for each engine, the first measured wall second at which the chain-mean
 Qenergy reaches the target (default: the level the XLA rrr engine reaches
 at its budget end).
 
-REIsing has no kernel route (the RE star term is not pairwise); it runs the
-XLA engines across the gamma grid and reports the measured met_factor next
-to the reference's CPU factors 20.8/24.6/13.9/6.4.
+REIsing runs the same way: BOTH engines on the RE star composite kernels
+(ops/quant_pallas.py — the log-cosh star term rides in-kernel mu tables, so
+it never flattens) across the full gamma grid, plus the XLA single-move
+engines at 64 chains, reported next to the reference's CPU factors
+20.8/24.6/13.9/6.4.
 
 Usage: python scripts/paper_quant.py [t_limit_s] [chains] [which]
    which in {qising, reising, both}. Writes paper_quant_results.json.

@@ -38,7 +38,12 @@ from rrrmc_tpu.parallel.tempering import (  # noqa: E402
 
 def measure(T, rounds, chains=64):
     X = rt.GraphRRG(256, 3, (-1, 1), seed=11)
-    betas = np.linspace(0.5, 2.0, T)
+    # swap-viable ladder at EVERY T: fixed adjacent spacing sized so
+    # Delta_beta * std(E) ~ 1 at N=256 (std(E) ~ sqrt(N) ~ 16 =>
+    # Delta_beta ~ 0.06 gives ~20-40% adjacent swap acceptance). A range
+    # fixed across T (the old linspace(0.5, 2.0, T)) left Delta_beta = 1.5
+    # at T=2 — zero exchanges, so the T=2 row measured nothing.
+    betas = 0.5 + 0.06 * np.arange(T)
     models = [X] * T
 
     t0 = time.time()
@@ -72,6 +77,10 @@ def main():
         rows.append(r)
         print(json.dumps(r), flush=True)
     out = {"model": "GraphRRG N=256 K=3, sweep_kernel, chains=64",
+           "ladder": "beta_k = 0.5 + 0.06k (fixed adjacent spacing sized "
+                     "for ~20-40% swap acceptance at every T; "
+                     "swap_acc_mean counts accepted swaps per chain over "
+                     "the measured rounds)",
            "rounds_measured": rounds, "rows": rows}
     with open(path, "w") as f:
         json.dump(out, f, indent=1)

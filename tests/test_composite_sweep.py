@@ -36,6 +36,7 @@ def _wrappers():
     ]
 
 
+@pytest.mark.slow
 def test_composite_masks_are_independent_sets():
     """Brute force: no mask may contain a pair (a, b) whose delta_energy
     interaction is nonzero — flipping b must not change a's delta."""

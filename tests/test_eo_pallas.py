@@ -163,6 +163,103 @@ def test_eo_pallas_dense_float(eo_interp):
     assert abs(a - b) < 0.04, (a, b)
 
 
+@pytest.fixture
+def eo_stream_small(eo_interp):
+    """Tiny dense caps + stream windows: small models exercise the
+    HBM-streamed EO variant's multi-block cyclic DMA schedule."""
+    ep = eo_interp
+    old = (ep._EO_DENSE_NP_MAX, ep._EO_DENSE_NP_MAX_F,
+           ep._EO_STREAM_W, ep._EO_STREAM_W_F)
+    ep._EO_DENSE_NP_MAX = 16
+    ep._EO_DENSE_NP_MAX_F = 16
+    ep._EO_STREAM_W = 64
+    ep._EO_STREAM_W_F = 32
+    import rrrmc_tpu.samplers.eo as se
+    se._EO_CACHE.clear()
+    yield ep
+    (ep._EO_DENSE_NP_MAX, ep._EO_DENSE_NP_MAX_F,
+     ep._EO_STREAM_W, ep._EO_STREAM_W_F) = old
+    se._EO_CACHE.clear()
+
+
+def test_eo_stream_invariant_densified_rrg(eo_stream_small):
+    """densify(GraphRRG) N=150 -> NP=192, 3 streamed J blocks: stream kind
+    taken, exact E/Emin tracking, itmin within range."""
+    import rrrmc_tpu as rt
+    import rrrmc_tpu.samplers.eo as se
+
+    X = rt.densify(rt.GraphRRG(150, 3, (-1, 1), seed=21))
+    res = rt.extremal_opt(X, 1.4, iters=400, chains=128, seed=3,
+                          backend="pallas")
+    kinds = {ent[2].kind for ent in se._EO_CACHE.values()}
+    assert kinds == {"stream"}, kinds
+    np.testing.assert_allclose(np.asarray(res.E), _recompute(X, res.sigma),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(res.Emin),
+                               _recompute(X, res.sigma_min), rtol=1e-6)
+    assert np.all(np.asarray(res.Emin) <= np.asarray(res.E) + 1e-6)
+    itmin = np.asarray(res.itmin)
+    assert np.all((itmin >= 0) & (itmin <= 400))
+
+
+def test_eo_stream_matches_dense_law(eo_stream_small):
+    """Mean best-energy after a fixed budget agrees between the streamed
+    kernel and the XLA EO path (same rank law, independent streams)."""
+    import rrrmc_tpu as rt
+
+    X = rt.densify(rt.GraphRRG(96, 3, (-1, 1), seed=23))
+    rp = rt.extremal_opt(X, 1.3, iters=800, chains=128, seed=5,
+                         backend="pallas")
+    rx = rt.extremal_opt(X, 1.3, iters=800, chains=128, seed=6,
+                         backend="xla")
+    a = np.asarray(rp.Emin).mean() / X.N
+    b = np.asarray(rx.Emin).mean() / X.N
+    assert abs(a - b) < 0.03, (a, b)
+
+
+def test_eo_stream_float_sknormal(eo_stream_small):
+    """GraphSKNormal rides the f32 streamed EO kernel (IEEE sort keys in
+    the resident table): invariant within f32 accumulation error + law."""
+    import rrrmc_tpu as rt
+    import rrrmc_tpu.samplers.eo as se
+
+    X = rt.GraphSKNormal(96, seed=5)
+    res = rt.extremal_opt(X, 1.3, iters=600, chains=128, seed=9,
+                          backend="pallas")
+    kinds = {ent[2].kind for ent in se._EO_CACHE.values()}
+    assert kinds == {"stream"}, kinds
+    np.testing.assert_allclose(np.asarray(res.E), _recompute(X, res.sigma),
+                               atol=5e-3)
+    np.testing.assert_allclose(np.asarray(res.Emin),
+                               _recompute(X, res.sigma_min), atol=5e-3)
+    rx = rt.extremal_opt(X, 1.3, iters=600, chains=64, seed=10,
+                         backend="xla")
+    a = np.asarray(res.Emin).mean() / X.N
+    b = np.asarray(rx.Emin).mean() / X.N
+    assert abs(a - b) < 0.04, (a, b)
+
+
+def test_eo_stream_rank_law(eo_stream_small):
+    """tau = 8 on the streamed path: a single move from a fixed config must
+    flip a minimal-dE site in (almost) every chain — exercises the streamed
+    key-table rebuild + resident binary search end to end."""
+    import rrrmc_tpu as rt
+
+    X = rt.densify(rt.GraphRRG(72, 3, (-1, 1), seed=31))
+    rng = np.random.RandomState(0)
+    C0 = rng.choice(np.array([-1, 1], np.int8), size=X.N)
+    res = rt.extremal_opt(X, 8.0, iters=1, chains=128, seed=13, C0=C0,
+                          backend="pallas")
+    sig = np.asarray(res.sigma)
+    flips = sig != C0[None, :]
+    assert np.all(flips.sum(axis=1) == 1), "exactly one flip per chain"
+    C0j = jnp.asarray(C0)
+    dE = np.asarray(X.delta_all(C0j, X.init_aux(C0j)))
+    picked = dE[np.argmax(flips, axis=1)]
+    n_min = int((picked == dE.min()).sum())
+    assert n_min >= 120, (n_min, picked[:16], dE.min())
+
+
 def test_eo_pallas_float_rank_law(eo_interp):
     """tau = 8 on a float model: the sort-key order statistic must still
     pick a minimal-dE site in (almost) every chain — exercises the IEEE

@@ -16,10 +16,19 @@ import pytest
 def pallas_interp():
     os.environ["RRRMC_PALLAS_INTERPRET"] = "1"
     import rrrmc_tpu.ops.sweep_pallas as sp
+    import rrrmc_tpu.samplers.sweep as sw
     importlib.reload(sp)
+    # drop sweepers built before the reload (they captured the old kernel
+    # functions); restore the cache afterwards so later tests never see
+    # interpret-mode sweepers. This keeps sweep.py itself un-reloaded —
+    # reloading a sampler module mid-suite rebinds shared global state.
+    saved = dict(sw._LATTICE_SWEEPERS)
+    sw._LATTICE_SWEEPERS.clear()
     yield sp
     os.environ.pop("RRRMC_PALLAS_INTERPRET")
     importlib.reload(sp)
+    sw._LATTICE_SWEEPERS.clear()
+    sw._LATTICE_SWEEPERS.update(saved)
 
 
 def test_pallas_sweep_invariant_and_physics(pallas_interp):
@@ -89,11 +98,9 @@ def test_sweepmc_routes_fields_to_pallas(pallas_interp):
     """sweepMC auto-routing accepts field-carrying integer lattices, and the
     sweeper cache distinguishes field variants sharing a Jd object."""
     import dataclasses
-    import importlib
 
     import rrrmc_tpu as rt
     import rrrmc_tpu.samplers.sweep as sw
-    importlib.reload(sw)    # rebind the reloaded sweep_pallas
 
     X0 = rt.GraphEA(4, 2, (-1, 1), seed=7)
     X = dataclasses.replace(

@@ -55,6 +55,7 @@ def test_ring_spec_and_eligibility(quant_interp):
     assert quant_interp.quant_ring_spec(q) is None
 
 
+@pytest.mark.slow
 def test_ring_bkl_invariant_and_law(quant_interp):
     import rrrmc_tpu as rt
     from rrrmc_tpu.samplers.common import LAST_ROUTE
@@ -74,6 +75,7 @@ def test_ring_bkl_invariant_and_law(quant_interp):
     assert abs(a - b) < 0.03, (a, b)
 
 
+@pytest.mark.slow
 def test_ring_rrr_invariant_and_law(quant_interp):
     """Kernel rrr = SingleGraph rrr law on the flat composite: same
     stationary distribution as the XLA Double-graph rrr."""
@@ -94,6 +96,7 @@ def test_ring_rrr_invariant_and_law(quant_interp):
     assert abs(a - b) < 0.04, (a, b)
 
 
+@pytest.mark.slow
 def test_ring_sweep_invariant_law_and_state(quant_interp):
     import rrrmc_tpu as rt
 
@@ -177,6 +180,7 @@ def test_star_bkl_invariant_and_law(quant_interp):
     assert abs(a - b) < 0.03, (a, b)
 
 
+@pytest.mark.slow
 def test_star_rrr_invariant_and_law(quant_interp):
     import rrrmc_tpu as rt
     from rrrmc_tpu.samplers.common import LAST_ROUTE
@@ -198,6 +202,7 @@ def test_star_rrr_invariant_and_law(quant_interp):
     assert abs(a - b) < 0.04, (a, b)
 
 
+@pytest.mark.slow
 def test_star_sweep_invariant_law_and_state(quant_interp):
     import rrrmc_tpu as rt
 

@@ -126,6 +126,7 @@ def test_bkl_dense_invariant_sk(rejfree_interp):
 
 
 @pytest.mark.parametrize("mode", ["bkl", "wtm"])
+@pytest.mark.slow
 def test_rejfree_dense_boltzmann_with_fields(rejfree_interp, mode):
     """Exact 2^N Boltzmann check on an integer FullyConnected WITH fields
     (N=12 -> 116 masked padding rows; fields exercise the h path)."""
@@ -172,6 +173,7 @@ def test_wtm_dense_densified_rrg_warm_start(rejfree_interp):
 
 
 @pytest.mark.parametrize("dense", [False, True])
+@pytest.mark.slow
 def test_rrr_pallas_boltzmann(rejfree_interp, dense):
     """Exact 2^N Boltzmann check: per-iteration checkpoint stream of
     mode="rrr" must average to the Boltzmann mean (every iteration emits a
@@ -195,6 +197,7 @@ def test_rrr_pallas_boltzmann(rejfree_interp, dense):
     assert abs(got - E_exact) < max(5 * sem, 0.05), (got, E_exact, sem)
 
 
+@pytest.mark.slow
 def test_rrr_pallas_matches_xla_law(rejfree_interp):
     """Equilibrium energy of the kernel rrr must match the XLA rrr path."""
     import rrrmc_tpu as rt
@@ -254,6 +257,7 @@ def test_stream_bkl_densified_rrg(stream_small):
     assert acc.min() > 0 and acc.max() <= 8_000
 
 
+@pytest.mark.slow
 def test_stream_bkl_boltzmann(stream_small):
     """Multi-block streamed bkl (W=8 -> 3 blocks at N=18): time-weighted
     checkpoint mean matches the exact 2^18 Boltzmann enumeration."""
@@ -271,6 +275,7 @@ def test_stream_bkl_boltzmann(stream_small):
     assert abs(got - E_exact) < max(5 * sem, 0.05), (got, E_exact, sem)
 
 
+@pytest.mark.slow
 def test_stream_rrr_and_wtm_invariant(stream_small):
     """rrr (two streamed passes per move) and wtm on the streamed path."""
     import rrrmc_tpu as rt
@@ -286,6 +291,7 @@ def test_stream_rrr_and_wtm_invariant(stream_small):
     np.testing.assert_array_equal(np.asarray(E_re), np.asarray(st.E))
 
 
+@pytest.mark.slow
 def test_stream_float_sknormal(stream_small):
     """GraphSKNormal rides the f32 streamed kernel: energy invariant within
     f32 accumulation error, equilibrium law matches the XLA bkl path
@@ -307,6 +313,7 @@ def test_stream_float_sknormal(stream_small):
     assert abs(a - b) < 0.03, (a, b)
 
 
+@pytest.mark.slow
 def test_lattice_fields_bkl_boltzmann(rejfree_interp):
     """LatticeEA WITH external fields routes to the lattice kernel (the
     AddFields composition, /root/reference/src/graphs/AddFields.jl:16-123)
@@ -333,6 +340,7 @@ def test_lattice_fields_bkl_boltzmann(rejfree_interp):
     assert abs(got - E_exact) < max(5 * sem, 0.05), (got, E_exact, sem)
 
 
+@pytest.mark.slow
 def test_kernel_accept_accounting_matches_xla(rejfree_interp):
     """rrr kernel acceptance rate agrees statistically with the XLA rrr
     path; bkl kernel `accepted` counts applied (rejection-free) moves."""
@@ -391,3 +399,116 @@ def test_small_lattice_routes_to_dense_kernel(rejfree_interp):
         assert abs(got - E_exact) < max(5 * sem, 0.05), (got, E_exact, sem)
     finally:
         rp._LATTICE_DENSE_MAX = saved
+
+
+# ---------------------------------------------------------------------------
+# Sparse variant (ops/rejfree_pallas._rejfree_sparse_kernel): resident lf +
+# inverse-neighbor-column O(deg) updates — the TPU answer to the reference's
+# O(deg) caches (/root/reference/src/DeltaE.jl:63-230). Any padded-table
+# Pairwise model routes here WITHOUT densify(): integer and float
+# couplings, external fields, all three modes.
+# ---------------------------------------------------------------------------
+
+
+def test_sparse_bkl_rrg_invariant(rejfree_interp):
+    """GraphRRG (sparse, no densify) routes to the sparse kernel: exact
+    energy invariant, route marker, acceptance accounting."""
+    import rrrmc_tpu as rt
+    from rrrmc_tpu.samplers.common import LAST_ROUTE
+
+    X = rt.GraphRRG(150, 3, (-1, 1), seed=21)
+    Es, st = rt.bklMC(X, 2.0, iters=8_000, step=100, chains=128, seed=3,
+                      backend="pallas")
+    assert LAST_ROUTE["backend"] == "pallas-rejfree-sparse"
+    E_re = jax.jit(jax.vmap(X.energy))(st.sigma)
+    np.testing.assert_array_equal(np.asarray(E_re), np.asarray(st.E))
+    assert np.all(np.isfinite(np.asarray(Es)))
+    acc = np.asarray(st.accepted)
+    assert acc.min() > 0 and acc.max() <= 8_000
+
+
+@pytest.mark.parametrize("mode", ["bkl", "wtm", "rrr"])
+@pytest.mark.slow
+def test_sparse_boltzmann(rejfree_interp, mode):
+    """Exact 2^18 Boltzmann enumeration on a sparse RRG for all 3 modes:
+    validates the race, the resident-lf O(deg) update, the log-domain z,
+    AND each mode's time bookkeeping at once."""
+    import rrrmc_tpu as rt
+
+    X = rt.GraphRRG(18, 3, (-1, 1), seed=7)
+    beta = 1.0
+    E_exact = _boltzmann_mean(X, beta)
+    if mode == "bkl":
+        Es, st = rt.bklMC(X, beta, iters=60_000, step=200, chains=128,
+                          seed=9, backend="pallas")
+    elif mode == "wtm":
+        Es, st = rt.wtmMC(X, beta, samples=300, step=40.0, chains=128,
+                          seed=9, backend="pallas")
+    else:
+        Es, st = rt.rrrMC(X, beta, iters=40_000, step=100, chains=128,
+                          seed=9, backend="pallas")
+    E_re = jax.jit(jax.vmap(X.energy))(st.sigma)
+    np.testing.assert_array_equal(np.asarray(E_re), np.asarray(st.E))
+    Es = np.asarray(Es)
+    got = Es[:, Es.shape[1] // 4:].mean()
+    sem = Es[:, Es.shape[1] // 4:].std() / np.sqrt(Es.shape[0] * 3.0)
+    assert abs(got - E_exact) < max(5 * sem, 0.05), (got, E_exact, sem)
+
+
+def test_sparse_float_rrgnormal(rejfree_interp):
+    """GraphRRGNormal rides the f32 sparse kernel: energy invariant within
+    the O(deg)-per-move f32 rounding budget, law matches the XLA bkl path
+    (the DeltaECacheCont regime, /root/reference/src/DeltaE.jl:299-410)."""
+    import rrrmc_tpu as rt
+    from rrrmc_tpu.samplers.common import LAST_ROUTE
+
+    X = rt.GraphRRGNormal(96, 3, seed=5)
+    Es, st = rt.bklMC(X, 1.0, iters=20_000, step=200, chains=128, seed=3,
+                      backend="pallas")
+    assert LAST_ROUTE["backend"] == "pallas-rejfree-sparse"
+    E_re = np.asarray(jax.jit(jax.vmap(X.energy))(st.sigma), np.float64)
+    np.testing.assert_allclose(np.asarray(st.E, np.float64), E_re,
+                               atol=5e-3)
+    Ex, _ = rt.bklMC(X, 1.0, iters=20_000, step=200, chains=128, seed=4,
+                     backend="xla")
+    a = np.asarray(Es)[:, 50:].mean() / X.N
+    b = np.asarray(Ex)[:, 50:].mean() / X.N
+    assert abs(a - b) < 0.03, (a, b)
+
+
+def test_sparse_fields_boltzmann(rejfree_interp):
+    """Sparse kernel WITH external fields (h enters through the resident lf
+    init and survives every O(deg) update): exact invariant + Boltzmann."""
+    import dataclasses
+
+    import rrrmc_tpu as rt
+
+    X0 = rt.GraphRRG(16, 3, (-1, 1), seed=11)
+    rng = np.random.RandomState(3)
+    h = rng.randint(-2, 3, size=X0.N)
+    X = dataclasses.replace(X0, h=jnp.asarray(h, X0.h.dtype))
+    beta = 1.0
+    E_exact = _boltzmann_mean(X, beta)
+    Es, st = rt.bklMC(X, beta, iters=60_000, step=200, chains=128, seed=9,
+                      backend="pallas")
+    E_re = jax.jit(jax.vmap(X.energy))(st.sigma)
+    np.testing.assert_array_equal(np.asarray(E_re), np.asarray(st.E))
+    Es = np.asarray(Es)
+    got = Es[:, Es.shape[1] // 4:].mean()
+    sem = Es[:, Es.shape[1] // 4:].std() / np.sqrt(Es.shape[0] * 3.0)
+    assert abs(got - E_exact) < max(5 * sem, 0.05), (got, E_exact, sem)
+
+
+def test_sparse_rrr_state_threading(rejfree_interp):
+    """State-threaded sparse rrr segments stay exact (the lf table is
+    rebuilt per run from the carried spins — no cross-run drift)."""
+    import rrrmc_tpu as rt
+
+    X = rt.GraphRRG(150, 3, (-1, 1), seed=13)
+    _, st = rt.rrrMC(X, 1.5, iters=2_000, step=200, chains=128, seed=5,
+                     backend="pallas")
+    Es2, st2 = rt.rrrMC(X, 1.5, iters=2_000, step=200, chains=128, seed=8,
+                        backend="pallas", state=st)
+    E_re = jax.jit(jax.vmap(X.energy))(st2.sigma)
+    np.testing.assert_array_equal(np.asarray(E_re), np.asarray(st2.E))
+    assert np.all(np.isfinite(np.asarray(Es2)))

@@ -40,6 +40,7 @@ def test_site_kernel_invariants(site_interp):
     assert a.min() >= 0 and a.max() <= 1200 and a.mean() > 0
 
 
+@pytest.mark.slow
 def test_standardmc_pallas_backend(site_interp):
     from rrrmc_tpu.samplers.metropolis import standardMC
 
@@ -57,6 +58,7 @@ def test_standardmc_pallas_backend(site_interp):
     assert abs(a - b) < 6.0, (a, b)   # N=64: ~0.1/spin
 
 
+@pytest.mark.slow
 def test_site_sampler_float_couplings(site_interp):
     """GraphRRGNormal (continuous J, /root/reference/src/graphs/RRG.jl:504)
     rides the f32 site kernel: invariant within f32 accumulation, law
