@@ -181,7 +181,11 @@ def equilibrated_factors(model, beta: float, *, chains: int = 128,
         dt = max(time.time() - t0, 1e-3)
         n = probe_n
         for _ in range(6):                       # adaptive rescale
-            n = int(n * max(1.0, min(target_s / dt, 10_000.0)))
+            # growth clamped to 16x per round: a chunk-quantized probe can
+            # under-predict by ~the chunk fill, but a single unbounded
+            # rescale can overshoot into a multi-minute dispatch — and the
+            # remote relay wedges past ~60s/dispatch, corrupting the wall
+            n = int(n * max(1.0, min(target_s / dt, 16.0)))
             acc0 = np.asarray(st.accepted).astype(np.int64)
             t0 = time.time()
             _, st2 = call(n, st)                 # measured run

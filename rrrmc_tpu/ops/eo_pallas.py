@@ -434,6 +434,157 @@ def _pallas_eo_stream_run(sigma, E, emin, smin, itmin, cdf, hcol, Jhbm,
     return (sig_out.T, E_out[0], emin_out[0], smin_out.T, itmin_out[0])
 
 
+# ---------------------------------------------------------------------------
+# Sparse variant: ANY padded-neighbor-table Pairwise model (GraphRRG — the
+# reference's flagship tau-EO workload, /root/reference/src/RRRMC.jl:474-521
+# — EA file graphs, Ising1D; integer or float couplings). Same resident-lf +
+# inverse-neighbor-column O(deg) update machinery as the sparse
+# rejection-free kernel (ops/rejfree_pallas.py): per move the half table
+# sig*lf, the rank draw, the value-domain binary search, the tie race, the
+# flip, and the K-pass lf update are ALL fused [NP, BT] VPU passes — no J
+# matrix, no matmul, no gather, so the move cost is independent of N^2.
+# ---------------------------------------------------------------------------
+
+
+def _eo_sparse_kernel(seed_ref, n_ref, cdf_ref, nbr_ref, jc_ref,
+                      sigma_ref, lf_ref, E_ref, emin_ref, smin_ref,
+                      itmin_ref,
+                      sigma_out, lf_out, E_out, emin_out, smin_out,
+                      itmin_out, *, N, NP, K, BT, t_bits, flt):
+    """Sparse EO chunk: n_ref[0] (dynamic) moves on a [NP, BT] block with a
+    RESIDENT local-field table. nbr_ref/jc_ref [NP, K] inverse-neighbor
+    column tables (sentinel entries == N never match a winner row < N);
+    rows >= N are frozen padding excluded from the rank count, the class,
+    and the race."""
+    seed_p = program_seed(seed_ref[0], pl.program_id(0))
+    pltpu.prng_seed(seed_p)
+    salt0 = seed_p * jnp.int32(1000003)
+    n_moves = n_ref[0]
+    iota_nb = jax.lax.broadcasted_iota(jnp.int32, (NP, BT), 0)
+    valid = iota_nb < N
+    lt = jnp.float32 if flt else jnp.int32
+    imax = jnp.int32(_I32_MAX)
+    inv32 = jnp.float32(2.0 ** -32)
+    half_f = jnp.float32(0.5)
+
+    nbr_cols = [nbr_ref[:, k][:, None] for k in range(K)]
+    jc_cols = [jc_ref[:, k][:, None] for k in range(K)]
+
+    def move(m, carry):
+        sig, lf, E, emin, smin, itmin = carry
+        if flt:
+            half = sig.astype(lt) * lf
+            b = jax.lax.bitcast_convert_type(half, jnp.int32)
+            hkey = b ^ ((b >> 31) & jnp.int32(0x7FFFFFFF))
+        else:
+            half = sig * lf
+            hkey = half
+        hvalid = jnp.where(valid, hkey, imax)
+        # rank draw: k = #(cdf < u) (padding cdf rows are 2.0, never < u)
+        ub = random_bits((1, BT), salt0 + 2 * m)
+        u = ub.astype(jnp.float32) * inv32 + half_f
+        rank = jnp.sum((cdf_ref[:] < u).astype(jnp.int32), axis=0,
+                       keepdims=True)
+        lo = jnp.min(hvalid, axis=0, keepdims=True) - 1
+        hi = jnp.max(jnp.where(valid, hkey, -imax), axis=0, keepdims=True)
+
+        def bstep(_, lh):
+            lo, hi = lh
+            mid = (lo >> 1) + (hi >> 1) + (lo & hi & 1)
+            cnt = jnp.sum((hvalid <= mid).astype(jnp.int32),
+                          axis=0, keepdims=True)
+            ok = cnt >= rank + 1
+            return jnp.where(ok, lo, mid + 1), jnp.where(ok, mid, hi)
+
+        lo, hi = jax.lax.fori_loop(0, t_bits, bstep, (lo, hi))
+        v = hi
+        members = hvalid == v
+        r = random_bits((NP, BT), salt0 + 2 * m + 1)
+        score = jnp.where(members, jnp.minimum(r, imax - 1), imax)
+        srow = jnp.min(score, axis=0, keepdims=True)
+        iwin = jnp.min(jnp.where(score == srow, iota_nb, NP),
+                       axis=0, keepdims=True)
+        onehot = iota_nb == iwin
+        dE_i = jnp.sum(jnp.where(onehot, 2 * half, jnp.zeros((), lt)),
+                       axis=0, keepdims=True, dtype=lt)
+        # winner's spin -> O(deg) lf update via the inverse columns (the
+        # exact scatter of models/pairwise.py:77-85 as broadcast compares)
+        d_row = jnp.sum(jnp.where(onehot, -2 * sig, 0), axis=0,
+                        keepdims=True).astype(lt)
+        for k in range(K):
+            lf = lf + jc_cols[k] * jnp.where(
+                nbr_cols[k] == iwin, d_row, jnp.zeros((), lt))
+        sig = jnp.where(onehot, -sig, sig)            # unconditional flip
+        E = E + dE_i
+        better = E < emin
+        emin = jnp.where(better, E, emin)
+        smin = jnp.where(better, sig, smin)
+        itmin = jnp.where(better, m + 1, itmin)
+        return sig, lf, E, emin, smin, itmin
+
+    sig0 = sigma_ref[:].astype(jnp.int32)
+    sig, lf, E, emin, smin, itmin = jax.lax.fori_loop(
+        0, n_moves, move,
+        (sig0, lf_ref[:], E_ref[:], emin_ref[:],
+         smin_ref[:].astype(jnp.int32), itmin_ref[:]))
+    sigma_out[:] = sig.astype(jnp.int8)
+    lf_out[:] = lf
+    E_out[:] = E
+    emin_out[:] = emin
+    smin_out[:] = smin.astype(jnp.int8)
+    itmin_out[:] = itmin
+
+
+@partial(jax.jit, static_argnames=("block_chains", "t_bits", "n_phys",
+                                   "flt"))
+def _pallas_eo_sparse_run(sigma, lfT, E, emin, smin, itmin, cdf, nbr, jc,
+                          seed, n_moves, *, block_chains, t_bits, n_phys,
+                          flt):
+    """Sparse analog of _pallas_eo_run: sigma/smin [B, NP] int8, lfT [NP, B]
+    int32/f32 (site-major local fields, pad rows 0), nbr/jc [NP, K]."""
+    sigmaT, sminT = sigma.T, smin.T
+    NP, B = sigmaT.shape
+    K = nbr.shape[1]
+    BT = block_chains
+    grid = (B // BT,)
+    et = jnp.float32 if flt else jnp.int32
+    kernel = partial(_eo_sparse_kernel, N=n_phys, NP=NP, K=K, BT=BT,
+                     t_bits=t_bits, flt=flt)
+    row = pl.BlockSpec((1, BT), lambda j: (0, j), memory_space=pltpu.VMEM)
+    blk = pl.BlockSpec((NP, BT), lambda j: (0, j), memory_space=pltpu.VMEM)
+    (sig_out, lf_out, E_out, emin_out, smin_out,
+     itmin_out) = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # seed
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # n_moves
+            pl.BlockSpec((NP, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),      # cdf
+            pl.BlockSpec((NP, K), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),      # nbr
+            pl.BlockSpec((NP, K), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),      # jc
+            blk, blk, row, row, blk, row,
+        ],
+        out_specs=[blk, blk, row, row, blk, row],
+        out_shape=[
+            jax.ShapeDtypeStruct((NP, B), jnp.int8),
+            jax.ShapeDtypeStruct((NP, B), et),
+            jax.ShapeDtypeStruct((1, B), et),
+            jax.ShapeDtypeStruct((1, B), et),
+            jax.ShapeDtypeStruct((NP, B), jnp.int8),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=_INTERPRET,
+    )(seed, n_moves, cdf, nbr, jc, sigmaT, lfT, E[None, :], emin[None, :],
+      sminT, itmin[None, :])
+    return (sig_out.T, lf_out, E_out[0], emin_out[0], smin_out.T,
+            itmin_out[0])
+
+
 #: dense EO J budget: bf16 [NP, NP] VMEM-resident (integer couplings) /
 #: f32 (float couplings — tighter: 4 B/entry)
 _EO_DENSE_NP_MAX = 4096
@@ -477,13 +628,15 @@ def auto_eo_block_chains(model, chains: int) -> int:
 
 
 def pallas_eo_eligible(model, chains: int) -> bool:
-    """EO kernel eligibility: VMEM-resident J up to N<=4096 (int) / 2048
-    (float); beyond that the HBM-streamed variant keeps only the half/key
-    table resident and rebuilds it each move from one streamed J pass
-    (int N <= 32768 / float N <= 16384)."""
+    """EO kernel eligibility: sparse Pairwise (N <= 16384, K <= 16 —
+    resident-lf inverse-column kernel, no J matrix); dense VMEM-resident J
+    up to N <= 4096 (int) / 2048 (float); beyond that the HBM-streamed
+    variant keeps only the half/key table resident and rebuilds it each
+    move from one streamed J pass (int N <= 32768 / float N <= 16384)."""
     from ..models.dense import FullyConnected
     from ..models.lattice import LatticeEA
-    from .rejfree_pallas import _dense_rejfree_ok
+    from ..models.pairwise import Pairwise
+    from .rejfree_pallas import _dense_rejfree_ok, _sparse_rejfree_ok
 
     if chains % 128 != 0:
         return False
@@ -496,6 +649,8 @@ def pallas_eo_eligible(model, chains: int) -> bool:
                if jnp.issubdtype(model.J.dtype, jnp.integer)
                else _EO_STREAM_NP_MAX_F)
         return model.N <= cap and _dense_rejfree_ok(model)
+    if isinstance(model, Pairwise):
+        return _sparse_rejfree_ok(model)
     return False
 
 
@@ -510,12 +665,41 @@ class PallasEO:
     def __init__(self, model, tau: float, *, block_chains: int = 128):
         from ..models.dense import FullyConnected
         from ..models.lattice import LatticeEA
+        from ..models.pairwise import Pairwise
         from ..samplers.eo import _rank_cdf
+        from .rejfree_pallas import _sparse_rejfree_ok
 
         assert model.N >= 8, "sublane tiling needs N >= 8"
         self.model = model
         self.block_chains = block_chains
         self.kind = "lattice"
+        if isinstance(model, Pairwise) and not isinstance(model, LatticeEA) \
+                and not isinstance(model, FullyConnected):
+            assert _sparse_rejfree_ok(model), \
+                "sparse EO needs a Pairwise model, N<=16384, K<=16"
+            self.flt = not jnp.issubdtype(model.J.dtype, jnp.integer)
+            NP = -(-model.N // 8) * 8
+            nbr = np.full((NP, model.K), model.N, np.int32)
+            nbr[:model.N] = np.asarray(model.neigh)
+            jd = np.float32 if self.flt else np.int32
+            jc = np.zeros((NP, model.K), jd)
+            jc[:model.N] = np.asarray(model.J).astype(jd)
+            self.A, self.B = jnp.asarray(nbr), jnp.asarray(jc)
+            self.L = self.D = 0
+            self.dense = False
+            self.NP = NP
+            self.kind = "sparse"
+            max_half = (None if self.flt else
+                        int(np.abs(np.asarray(model.J)).sum(axis=1).max()
+                            + np.abs(np.asarray(model.h)).max()))
+            if self.flt:
+                self.t_bits = 32
+            else:
+                self.t_bits = max(1, int(np.ceil(np.log2(2 * max_half + 2))))
+            cdf = np.full((NP, 1), 2.0, np.float32)
+            cdf[:model.N, 0] = _rank_cdf(model.N, float(tau))
+            self.cdf = jnp.asarray(cdf)
+            return
         if isinstance(model, LatticeEA):
             assert jnp.issubdtype(model.Jd.dtype, jnp.integer)
             assert jnp.issubdtype(model.h.dtype, jnp.integer), \
@@ -589,6 +773,18 @@ class PallasEO:
             sigma = jnp.concatenate([sigma, padc], axis=1)
         smin = sigma
         zeros = jnp.zeros((B,), jnp.int32)
+        if self.kind == "sparse":
+            from .rejfree_pallas import _sparse_prep
+
+            sigp, lfT = _sparse_prep(self.model, sigma[:, :n], self.NP)
+            sig, _lf, E, emin, smin, itmin = _pallas_eo_sparse_run(
+                sigp, lfT, E.astype(et), E.astype(et), smin, zeros,
+                self.cdf, self.A, self.B,
+                jnp.asarray([seed % (2 ** 31)], jnp.int32),
+                jnp.asarray([iters], jnp.int32),
+                block_chains=self.block_chains, t_bits=self.t_bits,
+                n_phys=self.model.N, flt=self.flt)
+            return (sig[:, :n], E, emin, smin[:, :n], itmin)
         if self.kind == "stream":
             sig, E, emin, smin, itmin = _pallas_eo_stream_run(
                 sigma, E.astype(et), E.astype(et), smin, zeros,

@@ -57,11 +57,20 @@ def init_pt_state(model, betas, chains: int, seed: int) -> PTState:
 
 def _swap_ranks(E_phys, rank, betas, u, parity, axis_name):
     """Globally-consistent rank update. E_phys/rank: local [Tl, B]; u: full
-    [T, B] (replicated); returns (new local rank, accepted mask [Tl, B])."""
+    [T, B] (replicated); returns (new local rank, accepted mask [Tl, B]).
+
+    The per-round traffic is ONE fused all_gather of a packed [2*Tl, B]
+    array (energies ++ ranks-as-float — exact for T < 2^24): collective
+    count per swap round is what a latency-bound interconnect charges for,
+    so the two logical gathers ride one message."""
     T = betas.shape[0]
     if axis_name is not None:
-        E_all = jax.lax.all_gather(E_phys, axis_name, tiled=True)   # [T, B]
-        rank_all = jax.lax.all_gather(rank, axis_name, tiled=True)
+        packed = jnp.concatenate(
+            [E_phys, rank.astype(E_phys.dtype)], axis=0)        # [2Tl, B]
+        packed_all = jax.lax.all_gather(packed, axis_name)      # [P, 2Tl, B]
+        Tl = rank.shape[0]
+        E_all = packed_all[:, :Tl].reshape(T, -1)
+        rank_all = packed_all[:, Tl:].reshape(T, -1).astype(rank.dtype)
     else:
         E_all, rank_all = E_phys, rank
     B = E_all.shape[1]

@@ -29,12 +29,18 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-CHAINS_PER_DEV = 16
-N_SWEEPS = 60
+CHAINS_PER_DEV = 64
+N_SWEEPS = 2400             # per-rep compute must dominate the one-dispatch
+                           # latency + end-of-rep collective (~0.03-0.1s on
+                           # loopback Gloo): ~2-3s of sweeps per rep
 PT_ROUNDS = 8
-PT_SWEEPS_PER_ROUND = 25   # amortizes the per-round swap collective (the
-                           # production regime: swap attempts every O(10)
+PT_SWEEPS_PER_ROUND = 400   # amortizes the per-round swap collective (the
+                           # production regime: swap attempts every O(100)
                            # sweeps, not every move)
+PT_CHAINS = 256            # chains per rung: batch enough per-rung compute
+                           # that the swap all_gather (latency-bound on
+                           # loopback Gloo) is a realistic fraction
+REPS = 4                   # best-of: the first rep pays state resharding
 
 
 def main():
@@ -74,12 +80,15 @@ def main():
                                     step=N_SWEEPS, chains=chains, mesh=mesh,
                                     seed=5, backend="xla")
     dist.fetch_global(st.E, mesh)                # warm + barrier (same jit)
-    t0 = time.time()
-    _, st = dist.sample_distributed(rt.sweepMC, X, 1.5, N_SWEEPS,
-                                    step=N_SWEEPS, chains=chains, mesh=mesh,
-                                    seed=6, state=st, backend="xla")
-    dist.fetch_global(st.E, mesh)
-    dt = time.time() - t0
+    dt = float("inf")
+    for rep in range(REPS):
+        t0 = time.time()
+        _, st = dist.sample_distributed(rt.sweepMC, X, 1.5, N_SWEEPS,
+                                        step=N_SWEEPS, chains=chains,
+                                        mesh=mesh, seed=6 + rep, state=st,
+                                        backend="xla")
+        dist.fetch_global(st.E, mesh)
+        dt = min(dt, time.time() - t0)
     chains_rate = chains * N_SWEEPS * X.N / dt   # attempted flips/s global
 
     # --- parallel tempering, ladder sharded over every device ---
@@ -87,17 +96,19 @@ def main():
     betas = np.linspace(0.5, 2.0, n_dev)
     _, ranks_w, _ = parallel_tempering(X, betas, PT_ROUNDS,
                                        sweeps_per_round=PT_SWEEPS_PER_ROUND,
-                                       chains=CHAINS_PER_DEV, seed=7,
+                                       chains=PT_CHAINS, seed=7,
                                        mesh=mesh_t, axis="temp")
     dist.fetch_global(ranks_w, mesh_t)           # warm + barrier (same jit)
-    t0 = time.time()
-    EsP, ranks, _ = parallel_tempering(X, betas, PT_ROUNDS,
-                                       sweeps_per_round=PT_SWEEPS_PER_ROUND,
-                                       chains=CHAINS_PER_DEV, seed=8,
-                                       mesh=mesh_t, axis="temp")
-    dist.fetch_global(ranks, mesh_t)
-    dtp = time.time() - t0
-    pt_rate = (n_dev * CHAINS_PER_DEV * PT_ROUNDS * PT_SWEEPS_PER_ROUND
+    dtp = float("inf")
+    for rep in range(REPS):
+        t0 = time.time()
+        EsP, ranks, _ = parallel_tempering(X, betas, PT_ROUNDS,
+                                           sweeps_per_round=PT_SWEEPS_PER_ROUND,
+                                           chains=PT_CHAINS, seed=8 + rep,
+                                           mesh=mesh_t, axis="temp")
+        dist.fetch_global(ranks, mesh_t)
+        dtp = min(dtp, time.time() - t0)
+    pt_rate = (n_dev * PT_CHAINS * PT_ROUNDS * PT_SWEEPS_PER_ROUND
                * X.N / dtp)
 
     if proc_id == 0:

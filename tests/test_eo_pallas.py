@@ -279,3 +279,75 @@ def test_eo_pallas_float_rank_law(eo_interp):
     picked = dE[np.argmax(flips, axis=1)]
     n_min = int((np.abs(picked - dE.min()) < 1e-5).sum())
     assert n_min >= 120, (n_min, picked[:16], dE.min())
+
+
+# ---------------------------------------------------------------------------
+# Sparse variant (ops/eo_pallas._eo_sparse_kernel): resident lf +
+# inverse-neighbor-column O(deg) updates — tau-EO on sparse graphs (the
+# reference's flagship EO workload, RRG ground states) without densify.
+# ---------------------------------------------------------------------------
+
+
+def test_eo_sparse_invariant_rrg(eo_interp):
+    """GraphRRG (sparse, no densify) routes to the sparse EO kernel: exact
+    E/Emin tracking, itmin range."""
+    import rrrmc_tpu as rt
+    import rrrmc_tpu.samplers.eo as se
+
+    se._EO_CACHE.clear()
+    X = rt.GraphRRG(150, 3, (-1, 1), seed=21)
+    res = rt.extremal_opt(X, 1.4, iters=400, chains=128, seed=3,
+                          backend="pallas")
+    kinds = {ent[2].kind for ent in se._EO_CACHE.values()}
+    assert kinds == {"sparse"}, kinds
+    np.testing.assert_allclose(np.asarray(res.E), _recompute(X, res.sigma),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(res.Emin),
+                               _recompute(X, res.sigma_min), rtol=1e-6)
+    assert np.all(np.asarray(res.Emin) <= np.asarray(res.E) + 1e-6)
+    itmin = np.asarray(res.itmin)
+    assert np.all((itmin >= 0) & (itmin <= 400))
+
+
+def test_eo_sparse_rank_law(eo_interp):
+    """tau = 8 on the sparse kernel: a single move must flip a minimal-dE
+    site in (almost) every chain — exercises the resident half table, the
+    binary search, AND the O(deg) update in one move."""
+    import rrrmc_tpu as rt
+
+    X = rt.GraphRRG(72, 3, (-1, 1), seed=31)
+    rng = np.random.RandomState(0)
+    C0 = rng.choice(np.array([-1, 1], np.int8), size=X.N)
+    res = rt.extremal_opt(X, 8.0, iters=1, chains=128, seed=13, C0=C0,
+                          backend="pallas")
+    sig = np.asarray(res.sigma)
+    flips = sig != C0[None, :]
+    assert np.all(flips.sum(axis=1) == 1), "exactly one flip per chain"
+    C0j = jnp.asarray(C0)
+    dE = np.asarray(X.delta_all(C0j, X.init_aux(C0j)))
+    picked = dE[np.argmax(flips, axis=1)]
+    n_min = int((picked == dE.min()).sum())
+    assert n_min >= 120, (n_min, picked[:16], dE.min())
+
+
+def test_eo_sparse_matches_xla_law(eo_interp):
+    """Mean best-energy after a fixed budget agrees with the XLA EO path
+    (same rank law), and a float sparse model (GraphRRGNormal) tracks
+    energies within f32 tolerance."""
+    import rrrmc_tpu as rt
+
+    X = rt.GraphRRG(96, 3, (-1, 1), seed=23)
+    rp = rt.extremal_opt(X, 1.3, iters=800, chains=128, seed=5,
+                         backend="pallas")
+    rx = rt.extremal_opt(X, 1.3, iters=800, chains=128, seed=6,
+                         backend="xla")
+    a = np.asarray(rp.Emin).mean() / X.N
+    b = np.asarray(rx.Emin).mean() / X.N
+    assert abs(a - b) < 0.03, (a, b)
+    Xf = rt.GraphRRGNormal(96, 3, seed=5)
+    rf = rt.extremal_opt(Xf, 1.3, iters=400, chains=128, seed=9,
+                         backend="pallas")
+    np.testing.assert_allclose(np.asarray(rf.E), _recompute(Xf, rf.sigma),
+                               atol=5e-3)
+    np.testing.assert_allclose(np.asarray(rf.Emin),
+                               _recompute(Xf, rf.sigma_min), atol=5e-3)
