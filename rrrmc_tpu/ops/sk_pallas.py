@@ -178,7 +178,7 @@ def _pallas_sk(sigma, lfT, E, J8, seed, n_sweeps, beta_s, *, W, block_chains,
     ]
     if stream_j:
         kernel = partial(_sk_kernel_hbm, N=N, W=W, BT=BT)
-        j_space = pltpu.ANY                # stays in HBM; windows DMA'd
+        j_space = pl.ANY                   # stays in HBM; windows DMA'd
         scratch += [pltpu.VMEM((2, W, N), jnp.int8),   # jbuf (double buffer)
                     pltpu.SemaphoreType.DMA((2,))]
     else:

@@ -400,6 +400,29 @@ def bench_eo_stream():
             "best_E_per_spin": float(np.min(sync(r.Emin)) / X.N)}
 
 
+def bench_eo_sparse():
+    """Sparse resident-lf EO kernel on the UNDENSIFIED GraphRRG N=1e4 —
+    tau-EO ground-state search on the reference's flagship EO workload
+    (ops/eo_pallas._eo_sparse_kernel; O(deg) inverse-column updates)."""
+    B, tau = 128, 1.4
+    X = rt.GraphRRG(10_000, 3, (-1, 1), seed=7)
+    r0 = rt.extremal_opt(X, tau, iters=2_000, chains=B, seed=3,
+                         backend="pallas")
+    sync(r0.E)
+    iters = 200_000
+    def rep():
+        r = rt.extremal_opt(X, tau, iters=iters, chains=B, seed=5,
+                            backend="pallas")
+        sync(r.E)
+        return r
+    dt, r = timed_best(rep)
+    E_re = sync(_recompute_E(X, r.sigma)).astype(np.float64)
+    assert int(np.max(np.abs(E_re - sync(r.E).astype(np.float64)))) == 0
+    return {"kernel": "eo_rrg1e4_sparse", "N": X.N, "chains": B, "tau": tau,
+            "moves_chains_per_s": iters * B / dt,
+            "best_E_per_spin": float(np.min(sync(r.Emin)) / X.N)}
+
+
 def kernels_section(done=(), checkpoint=None):
     out = [r for r in done]
     have = {r["kernel"] for r in out}
@@ -412,7 +435,7 @@ def kernels_section(done=(), checkpoint=None):
              "rrr_rrg1e4_sparse", "bkl_rrg1e4_sparse", "wtm_rrg1e4_sparse",
              "rrr_rrgnormal1e4_sparse", "bkl_rrgnormal1e4_sparse",
              "rrr_ea3d", "rrr_dense_sk", "eo_ea3d", "eo_dense_sk",
-             "eo_sknormal4096_stream"]
+             "eo_sknormal4096_stream", "eo_rrg1e4_sparse"]
     for name, fn in zip(names, (bench_ea3d_sweep,
                lambda: bench_dense("sk_dense_vmem", rt.GraphSK(1024, seed=4)),
                lambda: bench_dense("sk_dense_hbm_streamed",
@@ -438,7 +461,8 @@ def kernels_section(done=(), checkpoint=None):
                lambda: bench_rrr(True),
                lambda: bench_eo(False),
                lambda: bench_eo(True),
-               bench_eo_stream)):
+               bench_eo_stream,
+               bench_eo_sparse)):
         if name in have:
             continue
         r = fn()

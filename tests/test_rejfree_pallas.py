@@ -512,3 +512,28 @@ def test_sparse_rrr_state_threading(rejfree_interp):
     E_re = jax.jit(jax.vmap(X.energy))(st2.sigma)
     np.testing.assert_array_equal(np.asarray(E_re), np.asarray(st2.E))
     assert np.all(np.isfinite(np.asarray(Es2)))
+
+
+def test_sparse_flattened_wrapper_stack(rejfree_interp):
+    """rt.flatten(GraphQuant(EA)) yields a plain Pairwise (ring + lattice
+    edges, K = 2D + 2) that now rides the SPARSE kernel directly — the
+    round-4 upgrade of the flatten() guidance (previously flattened stacks
+    needed densify() for a kernel route). Invariant + law vs the XLA bkl
+    path on the same flat model."""
+    import rrrmc_tpu as rt
+    from rrrmc_tpu.samplers.common import LAST_ROUTE
+
+    base = rt.GraphEA(4, 2, (-1, 1), seed=2)
+    q = rt.GraphQuant(16, 3, 0.4, 1.0, base)
+    flat = rt.flatten(q)
+    Es, st = rt.bklMC(flat, 1.0, iters=20_000, step=200, chains=128, seed=5,
+                      backend="pallas")
+    assert LAST_ROUTE["backend"] == "pallas-rejfree-sparse"
+    E_re = np.asarray(jax.jit(jax.vmap(flat.energy))(st.sigma), np.float64)
+    np.testing.assert_allclose(np.asarray(st.E, np.float64), E_re,
+                               atol=5e-3)
+    Ex, _ = rt.bklMC(flat, 1.0, iters=20_000, step=200, chains=128, seed=6,
+                     backend="xla")
+    a = np.asarray(Es)[:, 50:].mean() / flat.N
+    b = np.asarray(Ex)[:, 50:].mean() / flat.N
+    assert abs(a - b) < 0.03, (a, b)
