@@ -641,9 +641,12 @@ def pallas_eo_eligible(model, chains: int) -> bool:
     if chains % 128 != 0:
         return False
     if isinstance(model, LatticeEA):
-        return (jnp.issubdtype(model.Jd.dtype, jnp.integer)
+        if (jnp.issubdtype(model.Jd.dtype, jnp.integer)
                 and jnp.issubdtype(model.h.dtype, jnp.integer)
-                and model.N >= 8)
+                and model.N >= 8):
+            return True
+        # float lattices (GraphEANormal) ride the sparse EO kernel
+        return _sparse_rejfree_ok(model)
     if isinstance(model, FullyConnected):
         cap = (_EO_STREAM_NP_MAX
                if jnp.issubdtype(model.J.dtype, jnp.integer)
@@ -673,8 +676,12 @@ class PallasEO:
         self.model = model
         self.block_chains = block_chains
         self.kind = "lattice"
-        if isinstance(model, Pairwise) and not isinstance(model, LatticeEA) \
+        int_lattice = (isinstance(model, LatticeEA)
+                       and jnp.issubdtype(model.Jd.dtype, jnp.integer)
+                       and jnp.issubdtype(model.h.dtype, jnp.integer))
+        if isinstance(model, Pairwise) and not int_lattice \
                 and not isinstance(model, FullyConnected):
+            # includes FLOAT lattices (GraphEANormal)
             assert _sparse_rejfree_ok(model), \
                 "sparse EO needs a Pairwise model, N<=16384, K<=16"
             self.flt = not jnp.issubdtype(model.J.dtype, jnp.integer)

@@ -1214,9 +1214,12 @@ def pallas_rejfree_eligible(model, chains: int) -> bool:
     if chains % 128 != 0:
         return False
     if isinstance(model, LatticeEA):
-        return (jnp.issubdtype(model.Jd.dtype, jnp.integer)
+        if (jnp.issubdtype(model.Jd.dtype, jnp.integer)
                 and jnp.issubdtype(model.h.dtype, jnp.integer)
-                and model.N >= 8)
+                and model.N >= 8):
+            return True
+        # float lattices (GraphEANormal) ride the sparse kernel instead
+        return _sparse_rejfree_ok(model)
     if isinstance(model, FullyConnected):
         return _dense_rejfree_ok(model)
     if isinstance(model, Pairwise):
@@ -1248,8 +1251,13 @@ class PallasRejectionFree:
         self.block_chains = block_chains
         self.chunk_moves = chunk_moves
         self.flt = False
-        if isinstance(model, Pairwise) and not isinstance(model, LatticeEA) \
+        int_lattice = (isinstance(model, LatticeEA)
+                       and jnp.issubdtype(model.Jd.dtype, jnp.integer)
+                       and jnp.issubdtype(model.h.dtype, jnp.integer))
+        if isinstance(model, Pairwise) and not int_lattice \
                 and not isinstance(model, FullyConnected):
+            # includes FLOAT lattices (GraphEANormal): the roll/dense
+            # variants are integer-only, the sparse kernel is not
             assert _sparse_rejfree_ok(model), \
                 "sparse rejfree needs a Pairwise model, N<=16384, K<=16"
             self.flt = not jnp.issubdtype(model.J.dtype, jnp.integer)

@@ -162,10 +162,19 @@ class PallasSiteSampler:
         self.block_chains = block_chains
 
     def __call__(self, sigma, E, key, *, seed: int, n_moves: int, lfT=None,
-                 acc=None):
+                 acc=None, sweep_schedule: bool = False):
         """sigma [B, N] int8, E [B] int32/f32, key: jax PRNG key for the
         shared site schedule. Returns (sigma', E', lfT', key', acc'):
-        acc accumulates accepted-move counts across calls."""
+        acc accumulates accepted-move counts across calls.
+
+        sweep_schedule=True makes the shared schedule a concatenation of
+        fresh random PERMUTATIONS of [0, N): every consecutive block of N
+        moves attempts each site exactly once — sweepMC semantics on the
+        site kernel (a composition of single-site kernels in a fixed order
+        preserves the Boltzmann law exactly like the color-mask sweep; the
+        order is shared across the chain batch as usual). Permutation
+        phase is carried across the internal chunking so sweeps spanning a
+        chunk boundary stay exact."""
         B, N = sigma.shape
         bt = self.block_chains or auto_block_chains(B, 30 * (N + 1))
         if lfT is None:
@@ -176,12 +185,31 @@ class PallasSiteSampler:
         if acc is None:
             acc = jnp.zeros((B,), jnp.int32)
         done = 0
+        if sweep_schedule:
+            import numpy as np
+
+            def perm_of(s_idx):
+                """Deterministic permutation for global sweep s_idx: a sweep
+                split across chunks regenerates IDENTICAL entries."""
+                rng = np.random.default_rng(
+                    ((seed & 0x7FFFFFFF) << 20) ^ s_idx)
+                return rng.permutation(N)
+
         while done < n_moves:
             m = min(self.MAX_MOVES, n_moves - done)
-            key, ks = jax.random.split(key)
-            # fixed-size site bucket: one compile for every chunk length
-            sites = jax.random.randint(ks, (self.MAX_MOVES,), 0, N,
-                                       jnp.int32)
+            if sweep_schedule:
+                s0, s1 = done // N, (done + m - 1) // N
+                stream = np.concatenate(
+                    [perm_of(s) for s in range(s0, s1 + 1)])
+                off = done - s0 * N
+                sites_np = np.zeros(self.MAX_MOVES, np.int32)
+                sites_np[:m] = stream[off:off + m].astype(np.int32)
+                sites = jnp.asarray(sites_np)
+            else:
+                key, ks = jax.random.split(key)
+                # fixed-size site bucket: one compile for every chunk length
+                sites = jax.random.randint(ks, (self.MAX_MOVES,), 0, N,
+                                           jnp.int32)
             sigma, E, lfT, acc = _pallas_site(
                 sigma, lfT, E, acc, sites, self.neigh_flat, self.J_flat,
                 jnp.asarray([seed + done], jnp.int32),

@@ -227,6 +227,56 @@ def _pallas_eligible(model, chains: int) -> bool:
             and chains % 128 == 0)
 
 
+#: site-sweep kernel caps: SMEM neighbor/coupling tables are N*K scalars
+#: each (verified to fit at N=1e4 K=3 on v5e); VMEM state is 30*(N+1)
+#: bytes/chain
+_SITE_SWEEP_NK_MAX = 65536
+
+
+def _site_sweep_eligible(model, chains: int) -> bool:
+    """Sparse Pairwise models whose sweeps can ride the single-site kernel
+    with a permutation schedule (ops/site_pallas.py sweep_schedule): the
+    checkerboard kernel is for even-L integer lattices; everything else
+    sparse (RRG, odd-L or float lattices, file graphs, flattened wrapper
+    stacks) gets ~40x the XLA color-mask path this way, with no densify."""
+    return (chains % 128 == 0 and model.N >= 8
+            and model.N * model.K <= _SITE_SWEEP_NK_MAX)
+
+
+#: cached site-sweep samplers keyed on (couplings, fields, beta)
+_SITE_SWEEPERS: dict = {}
+
+
+def _run_sweepmc_site(model, state: MCState, beta, n_ckpt, step, seed):
+    """Checkpointed sweepMC driver over the single-site kernel with the
+    permutation (sweep) schedule; exact energy tracking, acceptance
+    accounting via the kernel's acc output."""
+    from ..ops.site_pallas import PallasSiteSampler
+    from .common import (bound_cache_put, init_aux_batch, set_route,
+                         stack_physical)
+
+    key = (id(model.J), id(model.h), float(beta), "sweep")
+    ent = _SITE_SWEEPERS.get(key)
+    if ent is None or ent[0] is not model.J or ent[1] is not model.h:
+        ent = (model.J, model.h, PallasSiteSampler(model, beta))
+        bound_cache_put(_SITE_SWEEPERS, key, ent)
+    sampler = ent[2]
+    sigma, E, kkey = state.sigma, state.E, state.key[0]
+    acc = None
+    lfT = None
+    series = []
+    for k in range(n_ckpt):
+        sigma, E, lfT, kkey, acc = sampler(
+            sigma, E, kkey, seed=(seed + 7919 * k) % (2 ** 31),
+            n_moves=step * model.N, lfT=lfT, acc=acc, sweep_schedule=True)
+        series.append(E)
+    aux = init_aux_batch(model, sigma)
+    set_route("pallas-site-sweep", acc=acc)
+    state = MCState(sigma=sigma, aux=aux, E=E, key=state.key,
+                    accepted=state.accepted + acc)
+    return state, stack_physical(tuple(series), float(model.scale))
+
+
 _LATTICE_SWEEPERS: dict = {}
 
 
@@ -318,14 +368,23 @@ def sweepMC(model: Pairwise, beta: float, sweeps: int, *, step: int = 1,
     assert isinstance(model, Pairwise), "sweepMC requires a Pairwise model"
     if state is None:
         state = init_state(model, chains, seed, C0)
-    use_pallas = (backend == "pallas"
-                  or (backend == "auto"
-                      and jax.default_backend() not in ("cpu",)
-                      and _pallas_eligible(model, chains)))
+    lattice_ok = _pallas_eligible(model, chains)
+    use_pallas = (backend == "pallas" and lattice_ok) \
+        or (backend == "auto" and jax.default_backend() not in ("cpu",)
+            and lattice_ok)
     if use_pallas:
         state, series = _run_sweepmc_pallas(model, state, float(beta),
                                             sweeps // step, step, seed)
         return series_to_chain_major(series), state
+    if backend != "xla" and _site_sweep_eligible(model, chains) and (
+            backend == "pallas" or jax.default_backend() not in ("cpu",)):
+        # generic sparse Pairwise: permutation-schedule sweeps on the
+        # single-site kernel (~40x the XLA color-mask path, no densify)
+        state, series = _run_sweepmc_site(model, state, float(beta),
+                                          sweeps // step, step, seed)
+        return series_to_chain_major(series), state
+    from .common import set_route
+    set_route("xla")
     masks = (model.sweep_masks() if hasattr(model, "sweep_masks")
              else color_masks(model))
     state, series = _run_sweepmc(model, state, float(beta), masks,

@@ -400,6 +400,41 @@ def bench_eo_stream():
             "best_E_per_spin": float(np.min(sync(r.Emin)) / X.N)}
 
 
+def bench_sweep_site(float_j):
+    """sweepMC on the UNDENSIFIED sparse RRG N=1e4: permutation-schedule
+    sweeps on the single-site kernel (samplers/sweep._run_sweepmc_site) —
+    ~the densified HBM sweep's rate with no O(N^2) J, and the first kernel
+    sweep at all for float sparse models (previously ~7e7 flips/s XLA)."""
+    B, beta, nseg = 1024, 2.0, 4
+    if float_j:
+        X = rt.GraphRRGNormal(10_000, 3, seed=167)
+        name = "sweep_site_rrgnormal1e4"
+    else:
+        X = rt.GraphRRG(10_000, 3, (-1, 1), seed=7)
+        name = "sweep_site_rrg1e4"
+    seg = 60
+    Es, st = rt.sweepMC(X, beta, 20, step=20, chains=B, seed=3,
+                        backend="pallas")
+    sync(st.E)
+    def rep():
+        st2 = st
+        for g in range(nseg):
+            _, st2 = rt.sweepMC(X, beta, seg, step=seg, chains=B,
+                                seed=5 + g, state=st2, backend="pallas")
+        sync(st2.E)
+        return st2
+    dt, st2 = timed_best(rep)
+    E_re = sync(_recompute_E(X, st2.sigma)).astype(np.float64)
+    if float_j:
+        assert np.allclose(E_re, sync(st2.E).astype(np.float64), atol=0.5)
+    else:
+        assert int(np.max(np.abs(E_re - sync(st2.E)))) == 0
+    from rrrmc_tpu.samplers.common import LAST_ROUTE
+    return {"kernel": name, "N": X.N, "chains": B, "beta": beta,
+            "backend": LAST_ROUTE.get("backend"),
+            "flips_per_s": B * X.N * seg * nseg / dt}
+
+
 def bench_eo_sparse():
     """Sparse resident-lf EO kernel on the UNDENSIFIED GraphRRG N=1e4 —
     tau-EO ground-state search on the reference's flagship EO workload
@@ -435,7 +470,8 @@ def kernels_section(done=(), checkpoint=None):
              "rrr_rrg1e4_sparse", "bkl_rrg1e4_sparse", "wtm_rrg1e4_sparse",
              "rrr_rrgnormal1e4_sparse", "bkl_rrgnormal1e4_sparse",
              "rrr_ea3d", "rrr_dense_sk", "eo_ea3d", "eo_dense_sk",
-             "eo_sknormal4096_stream", "eo_rrg1e4_sparse"]
+             "eo_sknormal4096_stream", "eo_rrg1e4_sparse",
+             "sweep_site_rrg1e4", "sweep_site_rrgnormal1e4"]
     for name, fn in zip(names, (bench_ea3d_sweep,
                lambda: bench_dense("sk_dense_vmem", rt.GraphSK(1024, seed=4)),
                lambda: bench_dense("sk_dense_hbm_streamed",
@@ -462,7 +498,9 @@ def kernels_section(done=(), checkpoint=None):
                lambda: bench_eo(False),
                lambda: bench_eo(True),
                bench_eo_stream,
-               bench_eo_sparse)):
+               bench_eo_sparse,
+               lambda: bench_sweep_site(False),
+               lambda: bench_sweep_site(True))):
         if name in have:
             continue
         r = fn()

@@ -351,3 +351,26 @@ def test_eo_sparse_matches_xla_law(eo_interp):
                                atol=5e-3)
     np.testing.assert_allclose(np.asarray(rf.Emin),
                                _recompute(Xf, rf.sigma_min), atol=5e-3)
+
+
+def test_eo_sparse_float_lattice(eo_interp):
+    """GraphEANormal EO rides the sparse kernel (float lattices previously
+    had no EO kernel): f32 invariant + law vs XLA."""
+    import rrrmc_tpu as rt
+    import rrrmc_tpu.samplers.eo as se
+
+    se._EO_CACHE.clear()
+    X = rt.GraphEANormal(4, 2, seed=7)
+    res = rt.extremal_opt(X, 1.3, iters=500, chains=128, seed=9,
+                          backend="pallas")
+    kinds = {ent[2].kind for ent in se._EO_CACHE.values()}
+    assert kinds == {"sparse"}, kinds
+    np.testing.assert_allclose(np.asarray(res.E), _recompute(X, res.sigma),
+                               atol=5e-3)
+    np.testing.assert_allclose(np.asarray(res.Emin),
+                               _recompute(X, res.sigma_min), atol=5e-3)
+    rx = rt.extremal_opt(X, 1.3, iters=500, chains=128, seed=10,
+                         backend="xla")
+    a = np.asarray(res.Emin).mean() / X.N
+    b = np.asarray(rx.Emin).mean() / X.N
+    assert abs(a - b) < 0.05, (a, b)

@@ -537,3 +537,24 @@ def test_sparse_flattened_wrapper_stack(rejfree_interp):
     a = np.asarray(Es)[:, 50:].mean() / flat.N
     b = np.asarray(Ex)[:, 50:].mean() / flat.N
     assert abs(a - b) < 0.03, (a, b)
+
+
+def test_sparse_float_lattice_eanormal(rejfree_interp):
+    """GraphEANormal (FLOAT lattice — previously no rejection-free kernel
+    at all: the roll/dense variants are integer-only) rides the sparse
+    kernel via its padded Pairwise tables: invariant + law vs XLA."""
+    import rrrmc_tpu as rt
+    from rrrmc_tpu.samplers.common import LAST_ROUTE
+
+    X = rt.GraphEANormal(4, 2, seed=5)      # N = 16, float couplings
+    Es, st = rt.bklMC(X, 1.0, iters=20_000, step=200, chains=128, seed=3,
+                      backend="pallas")
+    assert LAST_ROUTE["backend"] == "pallas-rejfree-sparse"
+    E_re = np.asarray(jax.jit(jax.vmap(X.energy))(st.sigma), np.float64)
+    np.testing.assert_allclose(np.asarray(st.E, np.float64), E_re,
+                               atol=5e-3)
+    Ex, _ = rt.bklMC(X, 1.0, iters=20_000, step=200, chains=128, seed=4,
+                     backend="xla")
+    a = np.asarray(Es)[:, 50:].mean() / X.N
+    b = np.asarray(Ex)[:, 50:].mean() / X.N
+    assert abs(a - b) < 0.03, (a, b)

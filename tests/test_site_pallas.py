@@ -75,3 +75,70 @@ def test_site_sampler_float_couplings(site_interp):
     a = np.asarray(Es)[:, 10:].mean() / m.N
     b = np.asarray(Ex)[:, 10:].mean() / m.N
     assert abs(a - b) < 0.03, (a, b)
+
+
+# ---------------------------------------------------------------------------
+# sweepMC on the site kernel (round 4): generic sparse Pairwise sweeps ride
+# the single-site kernel with a permutation schedule (sweep_schedule=True).
+# ---------------------------------------------------------------------------
+
+
+def test_sweepmc_site_schedule_covers_every_site(site_interp):
+    """beta = 0: every proposal accepts (up to a ~2^-25 RNG edge), so ONE
+    sweep must flip EVERY spin exactly once — sigma -> -sigma. This proves
+    the permutation schedule attempts each site exactly once per sweep."""
+    import rrrmc_tpu.samplers.sweep as sw
+
+    sw._SITE_SWEEPERS.clear()
+    m = rt.GraphRRG(64, 3, (-1, 1), seed=2)
+    st = rt.init_state(m, 128, seed=1)
+    sig0 = np.asarray(st.sigma)
+    Es, st2 = sw.sweepMC(m, 0.0, sweeps=1, step=1, chains=128, seed=3,
+                         state=st, backend="pallas")
+    from rrrmc_tpu.samplers.common import LAST_ROUTE
+    assert LAST_ROUTE["backend"] == "pallas-site-sweep"
+    np.testing.assert_array_equal(np.asarray(st2.sigma), -sig0)
+    sw._SITE_SWEEPERS.clear()
+
+
+def test_sweepmc_site_route_invariant_and_law(site_interp):
+    """GraphRRG sweeps on the site kernel: exact energy tracking, accepted
+    accounting, equilibrium agreement with the XLA color-mask sweep."""
+    import rrrmc_tpu.samplers.sweep as sw
+
+    sw._SITE_SWEEPERS.clear()
+    m = rt.GraphRRG(96, 3, (-1, 1), seed=7)
+    Es, st = sw.sweepMC(m, 1.5, sweeps=120, step=10, chains=128, seed=3,
+                        backend="pallas")
+    from rrrmc_tpu.samplers.common import LAST_ROUTE
+    assert LAST_ROUTE["backend"] == "pallas-site-sweep"
+    E_re = jax.jit(jax.vmap(m.energy))(st.sigma)
+    np.testing.assert_array_equal(np.asarray(E_re), np.asarray(st.E))
+    acc = np.asarray(st.accepted)
+    assert acc.min() > 0 and acc.max() <= 120 * m.N
+    Ex, _ = sw.sweepMC(m, 1.5, sweeps=120, step=10, chains=128, seed=4,
+                       backend="xla")
+    a = np.asarray(Es)[:, 4:].mean() / m.N
+    b = np.asarray(Ex)[:, 4:].mean() / m.N
+    assert abs(a - b) < 0.03, (a, b)
+    sw._SITE_SWEEPERS.clear()
+
+
+def test_sweepmc_site_route_float(site_interp):
+    """GraphRRGNormal (float sparse) sweeps ride the same route with f32
+    energies — the family that previously had NO kernel sweep at all."""
+    import rrrmc_tpu.samplers.sweep as sw
+
+    sw._SITE_SWEEPERS.clear()
+    m = rt.GraphRRGNormal(96, 3, seed=5)
+    Es, st = sw.sweepMC(m, 1.0, sweeps=80, step=10, chains=128, seed=3,
+                        backend="pallas")
+    E_re = np.asarray(jax.jit(jax.vmap(m.energy))(st.sigma), np.float64)
+    np.testing.assert_allclose(np.asarray(st.E, np.float64), E_re,
+                               atol=5e-3)
+    Ex, _ = sw.sweepMC(m, 1.0, sweeps=80, step=10, chains=128, seed=4,
+                       backend="xla")
+    a = np.asarray(Es)[:, 3:].mean() / m.N
+    b = np.asarray(Ex)[:, 3:].mean() / m.N
+    assert abs(a - b) < 0.03, (a, b)
+    sw._SITE_SWEEPERS.clear()
