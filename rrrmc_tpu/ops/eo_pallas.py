@@ -636,9 +636,10 @@ def pallas_eo_eligible(model, chains: int) -> bool:
     from ..models.dense import FullyConnected
     from ..models.lattice import LatticeEA
     from ..models.pairwise import Pairwise
+    from ..samplers.common import concrete_model
     from .rejfree_pallas import _dense_rejfree_ok, _sparse_rejfree_ok
 
-    if chains % 128 != 0:
+    if chains % 128 != 0 or not concrete_model(model):
         return False
     if isinstance(model, LatticeEA):
         if (jnp.issubdtype(model.Jd.dtype, jnp.integer)

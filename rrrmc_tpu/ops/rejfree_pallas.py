@@ -1211,7 +1211,9 @@ def pallas_rejfree_eligible(model, chains: int) -> bool:
     from ..models.lattice import LatticeEA
     from ..models.pairwise import Pairwise
 
-    if chains % 128 != 0:
+    from ..samplers.common import concrete_model
+
+    if chains % 128 != 0 or not concrete_model(model):
         return False
     if isinstance(model, LatticeEA):
         if (jnp.issubdtype(model.Jd.dtype, jnp.integer)

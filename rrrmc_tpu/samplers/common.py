@@ -29,6 +29,18 @@ DEFAULT_SEED = 167432777111 % (2 ** 31)
 LAST_ROUTE: dict = {}
 
 
+def concrete_model(model) -> bool:
+    """True iff every array leaf of the model is concrete (not a jax
+    tracer). Kernel auto-routing must DECLINE traced models — under
+    sample_disorder's vmap (or any user jit over the model) the kernel
+    constructors' host-side table transforms would crash on tracers; the
+    XLA paths trace fine."""
+    import jax
+
+    return not any(isinstance(leaf, jax.core.Tracer)
+                   for leaf in jax.tree_util.tree_leaves(model))
+
+
 def set_route(backend: str, **extra):
     LAST_ROUTE.clear()
     LAST_ROUTE["backend"] = backend

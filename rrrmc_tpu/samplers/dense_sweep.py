@@ -147,10 +147,12 @@ def _cached_sweeper(model, beta: float):
 
 
 def _pallas_dense_eligible(model, chains: int) -> bool:
+    from .common import concrete_model
+    if not (chains % 128 == 0 and concrete_model(model)):
+        return False
     meta = _model_meta(model)
     return (jnp.issubdtype(model.J.dtype, jnp.integer)
             and jnp.issubdtype(model.h.dtype, jnp.integer)
-            and chains % 128 == 0
             and meta["j_max"] <= 127)
 
 

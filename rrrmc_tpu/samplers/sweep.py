@@ -220,11 +220,13 @@ def _run_sweepmc(model: Pairwise, state: MCState, beta, masks,
 
 def _pallas_eligible(model, chains: int) -> bool:
     from ..models.lattice import LatticeEA
+    from .common import concrete_model
     return (isinstance(model, LatticeEA)
             and jnp.issubdtype(model.Jd.dtype, jnp.integer)
             and jnp.issubdtype(model.h.dtype, jnp.integer)
             and model.L % 2 == 0
-            and chains % 128 == 0)
+            and chains % 128 == 0
+            and concrete_model(model))
 
 
 #: site-sweep kernel caps: SMEM neighbor/coupling tables are N*K scalars
@@ -239,8 +241,11 @@ def _site_sweep_eligible(model, chains: int) -> bool:
     checkerboard kernel is for even-L integer lattices; everything else
     sparse (RRG, odd-L or float lattices, file graphs, flattened wrapper
     stacks) gets ~40x the XLA color-mask path this way, with no densify."""
+    from .common import concrete_model
+
     return (chains % 128 == 0 and model.N >= 8
-            and model.N * model.K <= _SITE_SWEEP_NK_MAX)
+            and model.N * model.K <= _SITE_SWEEP_NK_MAX
+            and concrete_model(model))
 
 
 #: cached site-sweep samplers keyed on (couplings, fields, beta)

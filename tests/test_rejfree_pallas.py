@@ -558,3 +558,34 @@ def test_sparse_float_lattice_eanormal(rejfree_interp):
     a = np.asarray(Es)[:, 50:].mean() / X.N
     b = np.asarray(Ex)[:, 50:].mean() / X.N
     assert abs(a - b) < 0.03, (a, b)
+
+
+def test_eligibility_declines_traced_models():
+    """Under sample_disorder's vmap (or any user jit over the model) the
+    eligibility checks see TRACED leaves; they must return False (-> XLA
+    path) instead of crashing in a host-side np.asarray."""
+    import rrrmc_tpu as rt
+    from rrrmc_tpu.ops.eo_pallas import pallas_eo_eligible
+    from rrrmc_tpu.ops.rejfree_pallas import pallas_rejfree_eligible
+    from rrrmc_tpu.samplers.sweep import (_pallas_eligible,
+                                          _site_sweep_eligible)
+
+    X = rt.GraphRRG(64, 3, (-1, 1), seed=1)
+    Xn = rt.GraphRRGNormal(64, 3, seed=1)
+    L = rt.GraphEA(4, 2, (-1, 1), seed=1)
+    seen = []
+
+    @jax.jit
+    def probe(m, mn, lat):
+        seen.append((pallas_rejfree_eligible(m, 128),
+                     pallas_rejfree_eligible(mn, 128),
+                     pallas_eo_eligible(mn, 128),
+                     _site_sweep_eligible(m, 128),
+                     _pallas_eligible(lat, 128)))
+        return m.h
+    probe(X, Xn, L)
+    assert seen and not any(seen[0]), seen
+    # concrete models remain eligible
+    assert pallas_rejfree_eligible(X, 128)
+    assert pallas_rejfree_eligible(Xn, 128)
+    assert _site_sweep_eligible(X, 128)
