@@ -856,8 +856,8 @@ def rejfree_stream_run(Jhbm, hcol, beta2s, sigma, E, coord, Es, seed0,
 # passes (~15 + 3K), so the move cost is independent of any J matrix:
 # measured on RRG N=1e4 K=3 (v5e, BT=128): rrr 4.3e6 moves*chains/s (10.3x
 # the HBM-streamed dense kernel, whose 2 J passes/move sit at the DMA/MXU
-# roofline — see docs/tpu.md); bkl 2.3e10 / wtm 2.2e10 virtual
-# iters*chains/s at beta=4 (8.9x the streamed kernel).
+# roofline — see docs/tpu.md); bkl/wtm 1.8-2.3e10 virtual iters*chains/s
+# at beta=4 across runs (committed rows 1.8e10; ~8x the streamed kernel).
 #
 # Exactness: integer couplings keep int32 lf/E with NO drift (the update is
 # integer); float couplings carry f32 lf with O(deg) rounding per applied
