@@ -1092,6 +1092,257 @@ def rejfree_sparse_run(nbr, jc, lfT, beta2s, sigma, E, coord, Es, seed0,
     return sigma[:, :n_phys], E, coord, Es, acc, zacc
 
 
+# ---------------------------------------------------------------------------
+# 3-spin variant: PSpin3 regular hypergraphs (GraphPSpin3 — the reference's
+# p-spin model, /root/reference/src/graphs/PSpin3.jl:62-145, whose lfields
+# cache updates over unique triangle neighbors). The sparse kernel's
+# inverse-column trick extends to hyperedges by keeping K RESIDENT PRODUCT
+# TABLES q_k[j] = sigma_{p1(j,k)} * sigma_{p2(j,k)} beside the cavity sum
+# c_j = sum_k q_k[j] (half = sigma_j * c_j; dE = 2*half):
+#
+#   touched_k = (p1_k == winner_row) | (p2_k == winner_row)
+#   c  += -2 * q_k * touched_k          (the partner product negates)
+#   q_k = where(touched_k, -q_k, q_k)
+#
+# — a flip of the winner w negates exactly the products containing w, so c
+# stays exact int32 with NO gathers (the per-row partner spin that a naive
+# update would have to gather is exactly what q_k caches). The winner's own
+# row is untouched (its products don't involve sigma_w). Race / z / modes /
+# checkpoint streams are identical to the sparse kernel.
+# ---------------------------------------------------------------------------
+
+
+def _rejfree_pspin_kernel(*refs, N, NP, K, BT, n_moves, mode):
+    """One chunk of `n_moves` race-selected moves on a [NP, BT] block with
+    resident cavity/product tables.
+
+    refs (positional, K-dependent): seed, beta2s, target (SMEM), p1/p2
+    [NP, K] int32 partner tables (pad rows point at N — a winner row is
+    always < N so padding never matches), sigma, c [NP, BT], K product
+    tables q_k [NP, BT], E/coord/acc/zacc rows; then the matching outputs
+    + the (coord, E) checkpoint streams. c and the q_k carry across
+    chunks. Rows >= N are frozen padding excluded from the race and z."""
+    (seed_ref, beta2s_ref, target_ref, p1_ref, p2_ref, sigma_ref,
+     c_ref) = refs[:7]
+    q_refs = refs[7:7 + K]
+    E_ref, coord_ref, acc_ref, zacc_ref = refs[7 + K:11 + K]
+    outs = refs[11 + K:]
+    sigma_out, c_out = outs[0:2]
+    q_outs = outs[2:2 + K]
+    (E_out, coord_out, acc_out, zacc_out, cs_out, es_out) = outs[2 + K:]
+    wtm = mode == "wtm"
+    seed_p = program_seed(seed_ref[0], pl.program_id(0))
+    pltpu.prng_seed(seed_p)
+    salt0 = seed_p * jnp.int32(1000003)
+    beta2s = beta2s_ref[0]
+    target = target_ref[0]
+    iota_nb = jax.lax.broadcasted_iota(jnp.int32, (NP, BT), 0)
+    valid = iota_nb < N
+    inv32 = jnp.float32(2.0 ** -32)
+    half_f = jnp.float32(0.5)
+    inf = jnp.float32(3.0e38)
+    log_n = jnp.log(jnp.float32(N))
+
+    def to_uniform(rb):
+        return rb.astype(jnp.float32) * inv32 + half_f
+
+    p1_cols = [p1_ref[:, k][:, None] for k in range(K)]
+    p2_cols = [p2_ref[:, k][:, None] for k in range(K)]
+
+    def logz_of(sig, c):
+        half = sig * c
+        bE = beta2s * jnp.maximum(half, 0).astype(jnp.float32)
+        m = jnp.min(jnp.where(valid, bE, inf), axis=0, keepdims=True)
+        zs = jnp.sum(jnp.where(valid, jnp.exp(m - bE), 0.0),
+                     axis=0, keepdims=True)
+        return half, bE, jnp.log(zs) - m
+
+    def move(m, carry):
+        sig, c, qs, E, coord, acc, zacc = carry
+        active = coord < target                       # [1, BT]
+        half, bE, logz = logz_of(sig, c)
+        u = to_uniform(random_bits((NP, BT), salt0 + 3 * m))
+        score = jnp.where(valid, jnp.log(-jnp.log(u)) + bE, inf)
+        mrow = jnp.min(score, axis=0, keepdims=True)
+        irow = jnp.min(jnp.where(score == mrow, iota_nb, NP),
+                       axis=0, keepdims=True)
+        onehot = iota_nb == irow
+        dE_i = jnp.sum(jnp.where(onehot, 2 * half, 0), axis=0,
+                       keepdims=True, dtype=jnp.int32)
+        z_over_n = jnp.exp(logz - log_n)
+        zacc = zacc + jnp.where(active, z_over_n, jnp.float32(0.0))
+        touched = [((p1_cols[k] == irow) | (p2_cols[k] == irow))
+                   for k in range(K)]
+        delta = jnp.zeros((NP, BT), jnp.int32)
+        for k in range(K):
+            delta = delta - 2 * jnp.where(touched[k], qs[k], 0)
+        if mode == "rrr":
+            sig2 = jnp.where(onehot, -sig, sig)
+            _, _, logz2 = logz_of(sig2, c + delta)
+            ua = to_uniform(random_bits((1, BT), salt0 + 3 * m + 1))
+            do = active & (jnp.log(ua) < logz - logz2)
+            sig = jnp.where(onehot & do, -sig, sig)
+            c = c + jnp.where(do, delta, 0)
+            qs = [jnp.where(touched[k] & do, -qs[k], qs[k])
+                  for k in range(K)]
+            E = E + jnp.where(do, dE_i, 0)
+            coord = coord + jnp.where(active, 1, 0)
+            acc = acc + do.astype(jnp.int32)
+        else:
+            sig = jnp.where(onehot & active, -sig, sig)
+            c = c + jnp.where(active, delta, 0)
+            qs = [jnp.where(touched[k] & active, -qs[k], qs[k])
+                  for k in range(K)]
+            E = E + jnp.where(active, dE_i, 0)
+            acc = acc + active.astype(jnp.int32)
+        if wtm:
+            coord = coord + jnp.where(active, jnp.exp(mrow),
+                                      jnp.float32(0.0))
+        elif mode == "bkl":
+            u2 = to_uniform(random_bits((1, BT), salt0 + 3 * m + 2))
+            skip = _geom_skip(u2, z_over_n)
+            coord = coord + jnp.where(active, skip + 1, 0)
+        cs_out[pl.ds(m, 1), :] = coord
+        es_out[pl.ds(m, 1), :] = E
+        return sig, c, qs, E, coord, acc, zacc
+
+    sig0 = sigma_ref[:].astype(jnp.int32)
+    qs0 = [q_refs[k][:] for k in range(K)]
+    sig, c, qs, E, coord, acc, zacc = jax.lax.fori_loop(
+        0, n_moves, move,
+        (sig0, c_ref[:], qs0, E_ref[:], coord_ref[:], acc_ref[:],
+         zacc_ref[:]))
+    sigma_out[:] = sig.astype(jnp.int8)
+    c_out[:] = c
+    for k in range(K):
+        q_outs[k][:] = qs[k]
+    E_out[:] = E
+    coord_out[:] = coord
+    acc_out[:] = acc
+    zacc_out[:] = zacc
+
+
+@partial(jax.jit, static_argnames=("n_phys", "block_chains", "n_moves",
+                                   "mode"))
+def _pallas_rejfree_pspin_chunk(sigma, cT, qTs, E, coord, acc, zacc, p1, p2,
+                                seed, beta2s, target, *, n_phys,
+                                block_chains, n_moves, mode):
+    """sigma [B, NP] int8 (rows >= n_phys are +1 padding), cT [NP, B] i32
+    cavity sums, qTs: K-tuple of [NP, B] i32 product tables, p1/p2
+    [NP, K]."""
+    sigmaT = sigma.T
+    NP, B = sigmaT.shape
+    K = p1.shape[1]
+    BT = block_chains
+    grid = (B // BT,)
+    ct = jnp.float32 if mode == "wtm" else jnp.int32
+    kernel = partial(_rejfree_pspin_kernel, N=n_phys, NP=NP, K=K, BT=BT,
+                     n_moves=n_moves, mode=mode)
+    row = pl.BlockSpec((1, BT), lambda j: (0, j), memory_space=pltpu.VMEM)
+    blk = pl.BlockSpec((NP, BT), lambda j: (0, j), memory_space=pltpu.VMEM)
+    stream = pl.BlockSpec((n_moves, BT), lambda j: (0, j),
+                          memory_space=pltpu.VMEM)
+    tbl = pl.BlockSpec((NP, K), lambda j: (0, 0), memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)] * 3   # scalars
+                  + [tbl, tbl, blk, blk] + [blk] * K
+                  + [row, row, row, row]),
+        out_specs=[blk, blk] + [blk] * K + [row, row, row, row,
+                                            stream, stream],
+        out_shape=([jax.ShapeDtypeStruct((NP, B), jnp.int8),
+                    jax.ShapeDtypeStruct((NP, B), jnp.int32)]
+                   + [jax.ShapeDtypeStruct((NP, B), jnp.int32)] * K
+                   + [jax.ShapeDtypeStruct((1, B), jnp.int32),
+                      jax.ShapeDtypeStruct((1, B), ct),
+                      jax.ShapeDtypeStruct((1, B), jnp.int32),
+                      jax.ShapeDtypeStruct((1, B), jnp.float32),
+                      jax.ShapeDtypeStruct((n_moves, B), ct),
+                      jax.ShapeDtypeStruct((n_moves, B), jnp.int32)]),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=_INTERPRET,
+    )(seed, beta2s, target, p1, p2, sigmaT, cT, *qTs,
+      E[None, :].astype(jnp.int32), coord[None, :].astype(ct),
+      acc[None, :], zacc[None, :])
+    sig_out, c_out = outs[0], outs[1]
+    q_outs = tuple(outs[2:2 + K])
+    E_out, coord_out, acc_out, zacc_out, cs, es = outs[2 + K:]
+    return (sig_out.T, c_out, q_outs, E_out[0], coord_out[0], acc_out[0],
+            zacc_out[0], cs, es)
+
+
+@partial(jax.jit, static_argnames=("np_",))
+def _pspin_prep(model, sigma, np_):
+    """Padded ([B, NP] spins, [NP, B] cavity sums, K-tuple of [NP, B]
+    product tables) for a pspin-kernel run (XLA gathers, once per run)."""
+    s = sigma.astype(jnp.int32)                       # [B, N]
+    pairs = s[:, model.A]                             # [B, N, K, 2]
+    q = pairs[..., 0] * pairs[..., 1]                 # [B, N, K]
+    c = q.sum(axis=2)                                 # [B, N]
+    B, N, K = q.shape
+    pad = np_ - N
+    if pad:
+        sigma = jnp.concatenate(
+            [sigma, jnp.ones((B, pad), jnp.int8)], axis=1)
+        c = jnp.concatenate([c, jnp.zeros((B, pad), jnp.int32)], axis=1)
+        q = jnp.concatenate([q, jnp.zeros((B, pad, K), jnp.int32)], axis=1)
+    qTs = tuple(q[:, :, k].T for k in range(K))
+    return sigma, c.T.astype(jnp.int32), qTs
+
+
+@partial(jax.jit, static_argnames=("n_phys", "bt", "chunk_moves", "mode"))
+def rejfree_pspin_run(p1, p2, cT, qTs, beta2s, sigma, E, coord, Es, seed0,
+                      target, step, scale, *, n_phys, bt, chunk_moves,
+                      mode):
+    """PSpin3 analog of `rejfree_sparse_run`: whole hookless run in ONE
+    jit; sigma is the PADDED [B, NP] state (prep pads)."""
+    from ..samplers.bkl import _fill_checkpoints
+
+    B = sigma.shape[0]
+    target_arr = target.reshape(1)
+    acc = jnp.zeros((B,), jnp.int32)
+    zacc = jnp.zeros((B,), jnp.float32)
+
+    def cond(carry):
+        coord = carry[4]
+        return jnp.min(coord) < target
+
+    def body(carry):
+        sigma, cT, qTs, E, coord, acc, zacc, Es, k = carry
+        seed = (seed0 + k * jnp.int32(7919)).reshape(1)
+        x_start = coord
+        e_start = E.astype(Es.dtype) * scale
+        sigma, cT, qTs, E, coord, acc, zacc, cs, es = \
+            _pallas_rejfree_pspin_chunk(
+                sigma, cT, qTs, E, coord, acc, zacc, p1, p2, seed, beta2s,
+                target_arr, n_phys=n_phys, block_chains=bt,
+                n_moves=chunk_moves, mode=mode)
+        Es = _fill_checkpoints(Es, step, x_start, e_start, cs,
+                               es.astype(Es.dtype) * scale)
+        return sigma, cT, qTs, E, coord, acc, zacc, Es, k + 1
+
+    k0 = jnp.zeros((), jnp.int32)
+    sigma, cT, qTs, E, coord, acc, zacc, Es, _ = jax.lax.while_loop(
+        cond, body, (sigma, cT, qTs, E, coord, acc, zacc, Es, k0))
+    return sigma[:, :n_phys], E, coord, Es, acc, zacc
+
+
+#: pspin-kernel caps: (K + 2) resident [NP, BT] i32 tables + ~10 temps at
+#: BT=128 must fit the 128MB scoped limit
+_PSPIN_N_MAX = 8192
+_PSPIN_K_MAX = 8
+
+
+def _pspin_rejfree_ok(model) -> bool:
+    from ..models.pspin import PSpin3
+
+    return (isinstance(model, PSpin3)
+            and 9 <= model.N <= _PSPIN_N_MAX
+            and model.K <= _PSPIN_K_MAX)
+
+
 #: dense rejfree J budget: bf16 [NP, NP] must fit VMEM beside the state
 #: and stream buffers (128MB scoped limit); above it, the HBM-streamed
 #: variant takes over
@@ -1226,6 +1477,8 @@ def pallas_rejfree_eligible(model, chains: int) -> bool:
         return _dense_rejfree_ok(model)
     if isinstance(model, Pairwise):
         return _sparse_rejfree_ok(model)
+    if _pspin_rejfree_ok(model):
+        return True
     from .quant_pallas import quant_ring_eligible
     return quant_ring_eligible(model, chains)
 
@@ -1253,6 +1506,17 @@ class PallasRejectionFree:
         self.block_chains = block_chains
         self.chunk_moves = chunk_moves
         self.flt = False
+        if _pspin_rejfree_ok(model):
+            NP = -(-model.N // 8) * 8
+            A = np.asarray(model.A)
+            p1 = np.full((NP, model.K), model.N, np.int32)
+            p2 = np.full((NP, model.K), model.N, np.int32)
+            p1[:model.N] = A[:, :, 0]
+            p2[:model.N] = A[:, :, 1]
+            self.p1, self.p2 = jnp.asarray(p1), jnp.asarray(p2)
+            self.NP = NP
+            self.kind = "pspin"
+            return
         int_lattice = (isinstance(model, LatticeEA)
                        and jnp.issubdtype(model.Jd.dtype, jnp.integer)
                        and jnp.issubdtype(model.h.dtype, jnp.integer))
@@ -1362,6 +1626,13 @@ class PallasRejectionFree:
                 sigma, E, coord, Es, seed, target, step, scale,
                 n_phys=self.model.N, bt=self.block_chains,
                 chunk_moves=self.chunk_moves, mode=self.mode)
+        if self.kind == "pspin":
+            sigp, cT, qTs = _pspin_prep(self.model, sigma, self.NP)
+            return rejfree_pspin_run(
+                self.p1, self.p2, cT, qTs, self.beta2s, sigp, E, coord,
+                Es, seed, target, step, scale, n_phys=self.model.N,
+                bt=self.block_chains, chunk_moves=self.chunk_moves,
+                mode=self.mode)
         if self.kind == "lattice":
             return rejfree_run(
                 self.Jp, self.Jm, self.hcol, self.beta2s, sigma, E, coord,
@@ -1395,6 +1666,15 @@ class PallasRejectionFree:
             sig, lfT, E, coord, acc, zacc, cs, es = \
                 _pallas_rejfree_sparse_chunk(
                     sigp, lfT, E, coord, acc, zacc, self.nbr, self.jc,
+                    jnp.asarray([seed], jnp.int32), self.beta2s, tgt,
+                    n_phys=self.model.N, block_chains=self.block_chains,
+                    n_moves=self.chunk_moves, mode=self.mode)
+            return sig[:, :self.model.N], E, coord, acc, zacc, cs, es
+        if self.kind == "pspin":
+            sigp, cT, qTs = _pspin_prep(self.model, sigma, self.NP)
+            sig, cT, qTs, E, coord, acc, zacc, cs, es = \
+                _pallas_rejfree_pspin_chunk(
+                    sigp, cT, qTs, E, coord, acc, zacc, self.p1, self.p2,
                     jnp.asarray([seed], jnp.int32), self.beta2s, tgt,
                     n_phys=self.model.N, block_chains=self.block_chains,
                     n_moves=self.chunk_moves, mode=self.mode)

@@ -167,7 +167,10 @@ def _rejfree_mc(model, beta: float, mode: str, target, step, chains: int,
                   float(getattr(model.inner_m, "gamma", 0.0)),
                   float(getattr(model.inner_m, "beta_p", 0.0)))
     else:
-        Jid = model.Jd if hasattr(model, "Jd") else model.J
+        # coupling-identity for the runner cache: lattices key on Jd,
+        # pairwise/dense on J, PSpin3 on its partner table A
+        Jid = next(getattr(model, a) for a in ("Jd", "J", "A")
+                   if getattr(model, a, None) is not None)
         cls = PallasRejectionFree
         consts = ()
     # h identity matters: field variants share the coupling object

@@ -435,6 +435,31 @@ def bench_sweep_site(float_j):
             "flips_per_s": B * X.N * seg * nseg / dt}
 
 
+def bench_pspin(mode):
+    """PSpin3 resident cavity/product-table race kernel (the 3-spin
+    extension of the sparse kernel): GraphPSpin3 N=7500 K=3."""
+    B = 128
+    X = rt.GraphPSpin3(7500, 3, seed=7)
+    beta = 1.5 if mode == "bkl" else 1.0
+
+    def call(n, st):
+        kwa = {"state": st} if st is not None else {"seed": 3}
+        fn = rt.rrrMC if mode == "rrr" else rt.bklMC
+        _, st2 = fn(X, beta, iters=int(n), step=int(n), chains=B,
+                    backend="pallas", **kwa)
+        return st2
+
+    n, dt, st = _probe_scaled(call, 20_000 if mode == "rrr" else 500_000)
+    E_re = sync(_recompute_E(X, st.sigma))
+    assert int(np.max(np.abs(E_re - sync(st.E)))) == 0
+    from rrrmc_tpu.samplers.common import LAST_ROUTE
+    unit = ("moves_chains_per_s" if mode == "rrr"
+            else "virtual_iters_chains_per_s")
+    return {"kernel": f"{mode}_pspin7500", "N": X.N, "chains": B,
+            "beta": beta, "backend": LAST_ROUTE.get("backend"),
+            unit: n * B / dt}
+
+
 def bench_eo_sparse():
     """Sparse resident-lf EO kernel on the UNDENSIFIED GraphRRG N=1e4 —
     tau-EO ground-state search on the reference's flagship EO workload
@@ -471,7 +496,8 @@ def kernels_section(done=(), checkpoint=None):
              "rrr_rrgnormal1e4_sparse", "bkl_rrgnormal1e4_sparse",
              "rrr_ea3d", "rrr_dense_sk", "eo_ea3d", "eo_dense_sk",
              "eo_sknormal4096_stream", "eo_rrg1e4_sparse",
-             "sweep_site_rrg1e4", "sweep_site_rrgnormal1e4"]
+             "sweep_site_rrg1e4", "sweep_site_rrgnormal1e4",
+             "bkl_pspin7500", "rrr_pspin7500"]
     for name, fn in zip(names, (bench_ea3d_sweep,
                lambda: bench_dense("sk_dense_vmem", rt.GraphSK(1024, seed=4)),
                lambda: bench_dense("sk_dense_hbm_streamed",
@@ -500,7 +526,9 @@ def kernels_section(done=(), checkpoint=None):
                bench_eo_stream,
                bench_eo_sparse,
                lambda: bench_sweep_site(False),
-               lambda: bench_sweep_site(True))):
+               lambda: bench_sweep_site(True),
+               lambda: bench_pspin("bkl"),
+               lambda: bench_pspin("rrr"))):
         if name in have:
             continue
         r = fn()

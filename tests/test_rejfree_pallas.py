@@ -589,3 +589,58 @@ def test_eligibility_declines_traced_models():
     assert pallas_rejfree_eligible(X, 128)
     assert pallas_rejfree_eligible(Xn, 128)
     assert _site_sweep_eligible(X, 128)
+
+
+# ---------------------------------------------------------------------------
+# PSpin3 variant: resident cavity + product tables (q_k = sigma_p1*sigma_p2
+# negated by broadcast compares on the winner) — the 3-spin extension of the
+# sparse kernel, matching /root/reference/src/graphs/PSpin3.jl:62-145.
+# ---------------------------------------------------------------------------
+
+
+def test_pspin_kernel_invariant(rejfree_interp):
+    """GraphPSpin3 routes to the pspin kernel: exact energy invariant over
+    state-threaded segments, route marker, acceptance accounting."""
+    import rrrmc_tpu as rt
+    from rrrmc_tpu.samplers.common import LAST_ROUTE
+
+    X = rt.GraphPSpin3(150, 3, seed=21)
+    Es, st = rt.bklMC(X, 1.5, iters=8_000, step=100, chains=128, seed=3,
+                      backend="pallas")
+    assert LAST_ROUTE["backend"] == "pallas-rejfree-pspin"
+    E_re = jax.jit(jax.vmap(X.energy))(st.sigma)
+    np.testing.assert_array_equal(np.asarray(E_re), np.asarray(st.E))
+    Es2, st2 = rt.bklMC(X, 1.5, iters=8_000, step=100, chains=128, seed=5,
+                        backend="pallas", state=st)
+    E_re = jax.jit(jax.vmap(X.energy))(st2.sigma)
+    np.testing.assert_array_equal(np.asarray(E_re), np.asarray(st2.E))
+    acc = np.asarray(st2.accepted)
+    assert acc.min() > 0
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mode", ["bkl", "wtm", "rrr"])
+def test_pspin_boltzmann(rejfree_interp, mode):
+    """Exact 2^18 Boltzmann enumeration on GraphPSpin3 N=18 for all three
+    modes: validates the race, the product-table negation updates, the
+    log-domain z, AND the time bookkeeping on a 3-SPIN Hamiltonian."""
+    import rrrmc_tpu as rt
+
+    X = rt.GraphPSpin3(18, 3, seed=7)
+    beta = 0.6
+    E_exact = _boltzmann_mean(X, beta)
+    if mode == "bkl":
+        Es, st = rt.bklMC(X, beta, iters=60_000, step=200, chains=128,
+                          seed=9, backend="pallas")
+    elif mode == "wtm":
+        Es, st = rt.wtmMC(X, beta, samples=300, step=40.0, chains=128,
+                          seed=9, backend="pallas")
+    else:
+        Es, st = rt.rrrMC(X, beta, iters=40_000, step=100, chains=128,
+                          seed=9, backend="pallas")
+    E_re = jax.jit(jax.vmap(X.energy))(st.sigma)
+    np.testing.assert_array_equal(np.asarray(E_re), np.asarray(st.E))
+    Es = np.asarray(Es)
+    got = Es[:, Es.shape[1] // 4:].mean()
+    sem = Es[:, Es.shape[1] // 4:].std() / np.sqrt(Es.shape[0] * 3.0)
+    assert abs(got - E_exact) < max(5 * sem, 0.05), (got, E_exact, sem)
