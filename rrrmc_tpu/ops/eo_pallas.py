@@ -585,6 +585,139 @@ def _pallas_eo_sparse_run(sigma, lfT, E, emin, smin, itmin, cdf, nbr, jc,
             itmin_out[0])
 
 
+# ---------------------------------------------------------------------------
+# 3-spin variant: PSpin3 hypergraphs via the resident cavity + product
+# tables of the rejection-free pspin kernel (rejfree_pallas): half =
+# sigma * c with c_j = sum_k q_k[j]; the rank-select machinery is identical
+# to the sparse variant and the post-flip update negates exactly the
+# products containing the winner (broadcast compares, no gathers).
+# ---------------------------------------------------------------------------
+
+
+def _eo_pspin_kernel(*refs, N, NP, K, BT, t_bits):
+    """Sparse-EO analog for PSpin3. refs: seed, n_moves (SMEM), cdf, p1, p2
+    [NP, K], sigma, c [NP, BT], K product tables q_k, E/emin rows, smin
+    blk, itmin row; then matching outputs (sigma, c, q_k..., E, emin, smin,
+    itmin)."""
+    seed_ref, n_ref, cdf_ref, p1_ref, p2_ref, sigma_ref, c_ref = refs[:7]
+    q_refs = refs[7:7 + K]
+    E_ref, emin_ref, smin_ref, itmin_ref = refs[7 + K:11 + K]
+    outs = refs[11 + K:]
+    sigma_out, c_out = outs[0:2]
+    q_outs = outs[2:2 + K]
+    E_out, emin_out, smin_out, itmin_out = outs[2 + K:]
+    seed_p = program_seed(seed_ref[0], pl.program_id(0))
+    pltpu.prng_seed(seed_p)
+    salt0 = seed_p * jnp.int32(1000003)
+    n_moves = n_ref[0]
+    iota_nb = jax.lax.broadcasted_iota(jnp.int32, (NP, BT), 0)
+    valid = iota_nb < N
+    imax = jnp.int32(_I32_MAX)
+    inv32 = jnp.float32(2.0 ** -32)
+    half_f = jnp.float32(0.5)
+
+    p1_cols = [p1_ref[:, k][:, None] for k in range(K)]
+    p2_cols = [p2_ref[:, k][:, None] for k in range(K)]
+
+    def move(m, carry):
+        sig, c, qs, E, emin, smin, itmin = carry
+        half = sig * c
+        hvalid = jnp.where(valid, half, imax)
+        ub = random_bits((1, BT), salt0 + 2 * m)
+        u = ub.astype(jnp.float32) * inv32 + half_f
+        rank = jnp.sum((cdf_ref[:] < u).astype(jnp.int32), axis=0,
+                       keepdims=True)
+        lo = jnp.min(hvalid, axis=0, keepdims=True) - 1
+        hi = jnp.max(jnp.where(valid, half, -imax), axis=0, keepdims=True)
+
+        def bstep(_, lh):
+            lo, hi = lh
+            mid = (lo >> 1) + (hi >> 1) + (lo & hi & 1)
+            cnt = jnp.sum((hvalid <= mid).astype(jnp.int32),
+                          axis=0, keepdims=True)
+            ok = cnt >= rank + 1
+            return jnp.where(ok, lo, mid + 1), jnp.where(ok, mid, hi)
+
+        lo, hi = jax.lax.fori_loop(0, t_bits, bstep, (lo, hi))
+        v = hi
+        members = hvalid == v
+        r = random_bits((NP, BT), salt0 + 2 * m + 1)
+        score = jnp.where(members, jnp.minimum(r, imax - 1), imax)
+        srow = jnp.min(score, axis=0, keepdims=True)
+        iwin = jnp.min(jnp.where(score == srow, iota_nb, NP),
+                       axis=0, keepdims=True)
+        onehot = iota_nb == iwin
+        dE_i = jnp.sum(jnp.where(onehot, 2 * half, 0), axis=0,
+                       keepdims=True, dtype=jnp.int32)
+        for k in range(K):
+            touched = (p1_cols[k] == iwin) | (p2_cols[k] == iwin)
+            c = c - 2 * jnp.where(touched, qs[k], 0)
+            qs[k] = jnp.where(touched, -qs[k], qs[k])
+        sig = jnp.where(onehot, -sig, sig)            # unconditional flip
+        E = E + dE_i
+        better = E < emin
+        emin = jnp.where(better, E, emin)
+        smin = jnp.where(better, sig, smin)
+        itmin = jnp.where(better, m + 1, itmin)
+        return sig, c, qs, E, emin, smin, itmin
+
+    sig0 = sigma_ref[:].astype(jnp.int32)
+    qs0 = [q_refs[k][:] for k in range(K)]
+    sig, c, qs, E, emin, smin, itmin = jax.lax.fori_loop(
+        0, n_moves, move,
+        (sig0, c_ref[:], qs0, E_ref[:], emin_ref[:],
+         smin_ref[:].astype(jnp.int32), itmin_ref[:]))
+    sigma_out[:] = sig.astype(jnp.int8)
+    c_out[:] = c
+    for k in range(K):
+        q_outs[k][:] = qs[k]
+    E_out[:] = E
+    emin_out[:] = emin
+    smin_out[:] = smin.astype(jnp.int8)
+    itmin_out[:] = itmin
+
+
+@partial(jax.jit, static_argnames=("block_chains", "t_bits", "n_phys"))
+def _pallas_eo_pspin_run(sigma, cT, qTs, E, emin, smin, itmin, cdf, p1, p2,
+                         seed, n_moves, *, block_chains, t_bits, n_phys):
+    """PSpin3 EO: sigma/smin [B, NP] int8, cT [NP, B] i32, qTs K-tuple of
+    [NP, B] i32."""
+    sigmaT, sminT = sigma.T, smin.T
+    NP, B = sigmaT.shape
+    K = p1.shape[1]
+    BT = block_chains
+    grid = (B // BT,)
+    kernel = partial(_eo_pspin_kernel, N=n_phys, NP=NP, K=K, BT=BT,
+                     t_bits=t_bits)
+    row = pl.BlockSpec((1, BT), lambda j: (0, j), memory_space=pltpu.VMEM)
+    blk = pl.BlockSpec((NP, BT), lambda j: (0, j), memory_space=pltpu.VMEM)
+    tbl = pl.BlockSpec((NP, K), lambda j: (0, 0), memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+                  + [pl.BlockSpec((NP, 1), lambda j: (0, 0),
+                                  memory_space=pltpu.VMEM)]      # cdf
+                  + [tbl, tbl, blk, blk] + [blk] * K
+                  + [row, row, blk, row]),
+        out_specs=[blk, blk] + [blk] * K + [row, row, blk, row],
+        out_shape=([jax.ShapeDtypeStruct((NP, B), jnp.int8),
+                    jax.ShapeDtypeStruct((NP, B), jnp.int32)]
+                   + [jax.ShapeDtypeStruct((NP, B), jnp.int32)] * K
+                   + [jax.ShapeDtypeStruct((1, B), jnp.int32),
+                      jax.ShapeDtypeStruct((1, B), jnp.int32),
+                      jax.ShapeDtypeStruct((NP, B), jnp.int8),
+                      jax.ShapeDtypeStruct((1, B), jnp.int32)]),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=_INTERPRET,
+    )(seed, n_moves, cdf, p1, p2, sigmaT, cT, *qTs, E[None, :],
+      emin[None, :], sminT, itmin[None, :])
+    sig_out, c_out = outs[0], outs[1]
+    E_out, emin_out, smin_out, itmin_out = outs[2 + K:]
+    return (sig_out.T, E_out[0], emin_out[0], smin_out.T, itmin_out[0])
+
+
 #: dense EO J budget: bf16 [NP, NP] VMEM-resident (integer couplings) /
 #: f32 (float couplings — tighter: 4 B/entry)
 _EO_DENSE_NP_MAX = 4096
@@ -655,7 +788,8 @@ def pallas_eo_eligible(model, chains: int) -> bool:
         return model.N <= cap and _dense_rejfree_ok(model)
     if isinstance(model, Pairwise):
         return _sparse_rejfree_ok(model)
-    return False
+    from .rejfree_pallas import _pspin_rejfree_ok
+    return _pspin_rejfree_ok(model)
 
 
 class PallasEO:
@@ -677,6 +811,24 @@ class PallasEO:
         self.model = model
         self.block_chains = block_chains
         self.kind = "lattice"
+        from .rejfree_pallas import _pspin_rejfree_ok
+        if _pspin_rejfree_ok(model):
+            NP = -(-model.N // 8) * 8
+            A = np.asarray(model.A)
+            p1 = np.full((NP, model.K), model.N, np.int32)
+            p2 = np.full((NP, model.K), model.N, np.int32)
+            p1[:model.N] = A[:, :, 0]
+            p2[:model.N] = A[:, :, 1]
+            self.A, self.B = jnp.asarray(p1), jnp.asarray(p2)
+            self.NP = NP
+            self.flt = False
+            self.kind = "pspin"
+            # |half| <= K (unit couplings, K triangles per spin)
+            self.t_bits = max(1, int(np.ceil(np.log2(2 * model.K + 2))))
+            cdf = np.full((NP, 1), 2.0, np.float32)
+            cdf[:model.N, 0] = _rank_cdf(model.N, float(tau))
+            self.cdf = jnp.asarray(cdf)
+            return
         int_lattice = (isinstance(model, LatticeEA)
                        and jnp.issubdtype(model.Jd.dtype, jnp.integer)
                        and jnp.issubdtype(model.h.dtype, jnp.integer))
@@ -781,6 +933,18 @@ class PallasEO:
             sigma = jnp.concatenate([sigma, padc], axis=1)
         smin = sigma
         zeros = jnp.zeros((B,), jnp.int32)
+        if self.kind == "pspin":
+            from .rejfree_pallas import _pspin_prep
+
+            sigp, cT, qTs = _pspin_prep(self.model, sigma[:, :n], self.NP)
+            sig, E, emin, smin, itmin = _pallas_eo_pspin_run(
+                sigp, cT, qTs, E.astype(et), E.astype(et), smin, zeros,
+                self.cdf, self.A, self.B,
+                jnp.asarray([seed % (2 ** 31)], jnp.int32),
+                jnp.asarray([iters], jnp.int32),
+                block_chains=self.block_chains, t_bits=self.t_bits,
+                n_phys=self.model.N)
+            return (sig[:, :n], E, emin, smin[:, :n], itmin)
         if self.kind == "sparse":
             from .rejfree_pallas import _sparse_prep
 

@@ -116,12 +116,16 @@ def _eo_pallas(model, tau: float, iters: int, chains: int, seed: int,
     if block_chains is None:
         block_chains = auto_eo_block_chains(model, chains)
     assert chains % block_chains == 0, (chains, block_chains)
-    Jid = model.Jd if hasattr(model, "Jd") else model.J
+    # coupling identity: lattices key on Jd, pairwise/dense on J, PSpin3
+    # on its partner table A
+    Jid = next(getattr(model, a) for a in ("Jd", "J", "A")
+               if getattr(model, a, None) is not None)
     # h identity matters: field variants share the coupling object
-    key = (id(Jid), id(model.h), float(tau), block_chains)
+    hid = getattr(model, "h", None)
+    key = (id(Jid), id(hid), float(tau), block_chains)
     ent = _EO_CACHE.get(key)
-    if ent is None or ent[0] is not Jid or ent[1] is not model.h:
-        ent = (Jid, model.h,
+    if ent is None or ent[0] is not Jid or ent[1] is not hid:
+        ent = (Jid, hid,
                PallasEO(model, float(tau), block_chains=block_chains))
         bound_cache_put(_EO_CACHE, key, ent)
     sigma, E, emin, smin, itmin = ent[2].run(

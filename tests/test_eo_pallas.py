@@ -374,3 +374,40 @@ def test_eo_sparse_float_lattice(eo_interp):
     a = np.asarray(res.Emin).mean() / X.N
     b = np.asarray(rx.Emin).mean() / X.N
     assert abs(a - b) < 0.05, (a, b)
+
+
+def test_eo_pspin_invariant_and_rank_law(eo_interp):
+    """GraphPSpin3 EO rides the 3-spin product-table kernel: exact E/Emin
+    tracking, and the tau=8 rank law (minimal-dE flip in ~every chain)."""
+    import rrrmc_tpu as rt
+    import rrrmc_tpu.samplers.eo as se
+
+    se._EO_CACHE.clear()
+    X = rt.GraphPSpin3(150, 3, seed=21)
+    res = rt.extremal_opt(X, 1.4, iters=400, chains=128, seed=3,
+                          backend="pallas")
+    kinds = {ent[2].kind for ent in se._EO_CACHE.values()}
+    assert kinds == {"pspin"}, kinds
+    np.testing.assert_allclose(np.asarray(res.E), _recompute(X, res.sigma),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(res.Emin),
+                               _recompute(X, res.sigma_min), rtol=1e-6)
+    # rank law: tau = 8, one move from a fixed config
+    X2 = rt.GraphPSpin3(72, 3, seed=31)
+    rng = np.random.RandomState(0)
+    C0 = rng.choice(np.array([-1, 1], np.int8), size=X2.N)
+    r1 = rt.extremal_opt(X2, 8.0, iters=1, chains=128, seed=13, C0=C0,
+                         backend="pallas")
+    flips = np.asarray(r1.sigma) != C0[None, :]
+    assert np.all(flips.sum(axis=1) == 1), "exactly one flip per chain"
+    C0j = jnp.asarray(C0)
+    dE = np.asarray(X2.delta_all(C0j, X2.init_aux(C0j)))
+    picked = dE[np.argmax(flips, axis=1)]
+    assert int((picked == dE.min()).sum()) >= 120
+    # law agreement with the XLA EO path
+    rx = rt.extremal_opt(X, 1.4, iters=400, chains=128, seed=6,
+                         backend="xla")
+    a = np.asarray(res.Emin).mean() / X.N
+    b = np.asarray(rx.Emin).mean() / X.N
+    assert abs(a - b) < 0.04, (a, b)
+    se._EO_CACHE.clear()
