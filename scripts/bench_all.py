@@ -483,6 +483,27 @@ def bench_eo_sparse():
             "best_E_per_spin": float(np.min(sync(r.Emin)) / X.N)}
 
 
+def bench_eo_pspin():
+    """PSpin3 EO kernel: 3-spin rank-select via resident product tables."""
+    B, tau = 128, 1.4
+    X = rt.GraphPSpin3(7500, 3, seed=7)
+    r0 = rt.extremal_opt(X, tau, iters=2_000, chains=B, seed=3,
+                         backend="pallas")
+    sync(r0.E)
+    iters = 100_000
+    def rep():
+        r = rt.extremal_opt(X, tau, iters=iters, chains=B, seed=5,
+                            backend="pallas")
+        sync(r.E)
+        return r
+    dt, r = timed_best(rep)
+    E_re = sync(_recompute_E(X, r.sigma))
+    assert int(np.max(np.abs(E_re - sync(r.E)))) == 0
+    return {"kernel": "eo_pspin7500", "N": X.N, "chains": B, "tau": tau,
+            "moves_chains_per_s": iters * B / dt,
+            "best_E_per_spin": float(np.min(sync(r.Emin)) / X.N)}
+
+
 def kernels_section(done=(), checkpoint=None):
     out = [r for r in done]
     have = {r["kernel"] for r in out}
@@ -497,7 +518,7 @@ def kernels_section(done=(), checkpoint=None):
              "rrr_ea3d", "rrr_dense_sk", "eo_ea3d", "eo_dense_sk",
              "eo_sknormal4096_stream", "eo_rrg1e4_sparse",
              "sweep_site_rrg1e4", "sweep_site_rrgnormal1e4",
-             "bkl_pspin7500", "rrr_pspin7500"]
+             "bkl_pspin7500", "rrr_pspin7500", "eo_pspin7500"]
     for name, fn in zip(names, (bench_ea3d_sweep,
                lambda: bench_dense("sk_dense_vmem", rt.GraphSK(1024, seed=4)),
                lambda: bench_dense("sk_dense_hbm_streamed",
@@ -528,7 +549,8 @@ def kernels_section(done=(), checkpoint=None):
                lambda: bench_sweep_site(False),
                lambda: bench_sweep_site(True),
                lambda: bench_pspin("bkl"),
-               lambda: bench_pspin("rrr"))):
+               lambda: bench_pspin("rrr"),
+               bench_eo_pspin)):
         if name in have:
             continue
         r = fn()
