@@ -789,7 +789,10 @@ def pallas_eo_eligible(model, chains: int) -> bool:
     if isinstance(model, Pairwise):
         return _sparse_rejfree_ok(model)
     from .rejfree_pallas import _pspin_rejfree_ok
-    return _pspin_rejfree_ok(model)
+    if _pspin_rejfree_ok(model):
+        return True
+    from .sat_pallas import sat_rejfree_ok
+    return sat_rejfree_ok(model)
 
 
 class PallasEO:
@@ -811,6 +814,19 @@ class PallasEO:
         self.model = model
         self.block_chains = block_chains
         self.kind = "lattice"
+        from .sat_pallas import sat_rejfree_ok, _SatTables
+        if sat_rejfree_ok(model):
+            self.tab = _SatTables(model)
+            self.NP = self.tab.NP
+            self.flt = False
+            self.kind = "sat"
+            # |dE| <= max_conn (allDeltaE = 0:max_conn, SAT.jl:325)
+            self.t_bits = max(1, int(np.ceil(
+                np.log2(2 * max(model.max_conn, 1) + 2))))
+            cdf = np.full((self.NP, 1), 2.0, np.float32)
+            cdf[:model.N, 0] = _rank_cdf(model.N, float(tau))
+            self.cdf = jnp.asarray(cdf)
+            return
         from .rejfree_pallas import _pspin_rejfree_ok
         if _pspin_rejfree_ok(model):
             NP = -(-model.N // 8) * 8
@@ -933,6 +949,21 @@ class PallasEO:
             sigma = jnp.concatenate([sigma, padc], axis=1)
         smin = sigma
         zeros = jnp.zeros((B,), jnp.int32)
+        if self.kind == "sat":
+            from .sat_pallas import _sat_prep, _pallas_eo_sat_run
+
+            t = self.tab
+            sigp, wTs = _sat_prep(self.model, sigma[:, :n], t.NP, t.Cmax,
+                                  t.bits, t.spw, t.nw)
+            sig, E, emin, smin, itmin = _pallas_eo_sat_run(
+                sigp, wTs, E.astype(et), E.astype(et), smin, zeros,
+                self.cdf, t.TL, t.P, t.SL,
+                jnp.asarray([seed % (2 ** 31)], jnp.int32),
+                jnp.asarray([iters], jnp.int32),
+                block_chains=self.block_chains, t_bits=self.t_bits,
+                n_phys=self.model.N, cmax=t.Cmax, k_=t.K, bits=t.bits,
+                spw=t.spw, nw=t.nw)
+            return (sig[:, :n], E, emin, smin[:, :n], itmin)
         if self.kind == "pspin":
             from .rejfree_pallas import _pspin_prep
 

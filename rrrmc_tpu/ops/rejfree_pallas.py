@@ -1479,6 +1479,9 @@ def pallas_rejfree_eligible(model, chains: int) -> bool:
         return _sparse_rejfree_ok(model)
     if _pspin_rejfree_ok(model):
         return True
+    from .sat_pallas import sat_rejfree_ok
+    if sat_rejfree_ok(model):
+        return True
     from .quant_pallas import quant_ring_eligible
     return quant_ring_eligible(model, chains)
 
@@ -1506,6 +1509,16 @@ class PallasRejectionFree:
         self.block_chains = block_chains
         self.chunk_moves = chunk_moves
         self.flt = False
+        from .sat_pallas import sat_rejfree_ok, _SatTables
+        if sat_rejfree_ok(model):
+            # K-SAT: resident bit-packed clause-count words + partner-
+            # compare updates (ops/sat_pallas.py); dE = lf directly (not
+            # 2*half), so the kernel takes beta*scale, not 2*beta*scale
+            self.betas = jnp.asarray([beta * model.scale], jnp.float32)
+            self.tab = _SatTables(model)
+            self.NP = self.tab.NP
+            self.kind = "sat"
+            return
         if _pspin_rejfree_ok(model):
             NP = -(-model.N // 8) * 8
             A = np.asarray(model.A)
@@ -1618,6 +1631,17 @@ class PallasRejectionFree:
         """Whole hookless run (while_loop over kernel chunks, one jit).
         Returns (sigma, E, coord, Es, acc, zacc): acc = applied flips per
         chain, zacc = summed z/N over moves (acceptance diagnostics)."""
+        if self.kind == "sat":
+            from .sat_pallas import _sat_prep, rejfree_sat_run
+
+            t = self.tab
+            sigp, wTs = _sat_prep(self.model, sigma, t.NP, t.Cmax, t.bits,
+                                  t.spw, t.nw)
+            return rejfree_sat_run(
+                t.TL, t.P, t.SL, self.betas, sigp, wTs, E, coord, Es, seed,
+                target, step, scale, n_phys=self.model.N, cmax=t.Cmax,
+                k_=t.K, bt=self.block_chains, chunk_moves=self.chunk_moves,
+                mode=self.mode, bits=t.bits, spw=t.spw, nw=t.nw)
         if self.kind == "sparse":
             from ..samplers.common import init_lfT
 
@@ -1661,6 +1685,21 @@ class PallasRejectionFree:
             acc = jnp.zeros((B,), jnp.int32)
         if zacc is None:
             zacc = jnp.zeros((B,), jnp.float32)
+        if self.kind == "sat":
+            from .sat_pallas import _sat_prep, _pallas_rejfree_sat_chunk
+
+            t = self.tab
+            sigp, wTs = _sat_prep(self.model, sigma, t.NP, t.Cmax, t.bits,
+                                  t.spw, t.nw)
+            sig, wTs, E, coord, acc, zacc, cs, es = \
+                _pallas_rejfree_sat_chunk(
+                    sigp, wTs, E, coord, acc, zacc, t.TL, t.P, t.SL,
+                    jnp.asarray([seed], jnp.int32), self.betas, tgt,
+                    n_phys=self.model.N, cmax=t.Cmax, k_=t.K,
+                    block_chains=self.block_chains,
+                    n_moves=self.chunk_moves, mode=self.mode, bits=t.bits,
+                    spw=t.spw, nw=t.nw)
+            return sig[:, :self.model.N], E, coord, acc, zacc, cs, es
         if self.kind == "sparse":
             sigp, lfT = _sparse_prep(self.model, sigma, self.NP)
             sig, lfT, E, coord, acc, zacc, cs, es = \

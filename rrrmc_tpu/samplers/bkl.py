@@ -131,6 +131,48 @@ def _fill_checkpoints(S, step, x_start, o_start, xs, os_):
 #: cached PallasRejectionFree runners (their ctors run eager table builds)
 _REJFREE_CACHE: dict = {}
 
+#: structural dispatch-length guard: the remote TPU relay wedges on single
+#: dispatches over ~60 s (and can take >1 h to recover — see CLAUDE.md), so
+#: every kernel run is auto-chunked into probe-calibrated stages each aiming
+#: below this wall-clock. Growth between stages is clamped (one mis-scaled
+#: rescale once produced a 220 s dispatch); the first stage is 1/256 of the
+#: target, so the overhead is <= ~4 extra dispatches per run.
+MAX_DISPATCH_S = 30.0
+_STAGE_GROWTH_CAP = 16.0
+
+
+def _staged_run(rf, sigma, E, coord, Es, seed, target, step, scale, ct):
+    """Drive rf.run in wall-clock-bounded stages (one dispatch each).
+
+    Returns (sigma, E, coord, Es, acc, zacc, n_dispatches). Each stage gets
+    a decorrelated seed (a single-dispatch run reseeds per internal chunk;
+    stages must not replay chunk 0's stream)."""
+    import time
+
+    import numpy as np
+
+    total = float(target)
+    done = 0.0
+    stage = max(total / 256.0, 1.0)
+    acc_t = zacc_t = None
+    k = 0
+    while done < total:
+        done = min(done + stage, total)
+        tgt = jnp.asarray(done if ct == jnp.float32 else int(done), ct)
+        t0 = time.perf_counter()
+        sigma, E, coord, Es, acc, zacc = rf.run(
+            sigma, E, coord, Es, seed + jnp.int32(k * 40993), tgt,
+            step, scale)
+        np.asarray(E)                     # materialize = the only real sync
+        dt = time.perf_counter() - t0
+        acc_t = acc if acc_t is None else acc_t + acc
+        zacc_t = zacc if zacc_t is None else zacc_t + zacc
+        k += 1
+        if done < total:
+            grow = min(_STAGE_GROWTH_CAP, MAX_DISPATCH_S / max(dt, 1e-3))
+            stage = max(stage * grow, 1.0)
+    return sigma, E, coord, Es, acc_t, zacc_t, k
+
 
 def _rejfree_mc(model, beta: float, mode: str, target, step, chains: int,
                 seed: int, state: MCState, n_ckpt: int,
@@ -188,15 +230,16 @@ def _rejfree_mc(model, beta: float, mode: str, target, step, chains: int,
     et = jnp.float32 if rf.flt else jnp.int32
     Es = jnp.zeros((chains, n_ckpt), ftype())
     coord = jnp.zeros((chains,), ct)
-    sigma, E, coord, Es, acc, zacc = rf.run(
-        state.sigma, state.E.astype(et), coord, Es,
+    sigma, E, coord, Es, acc, zacc, n_disp = _staged_run(
+        rf, state.sigma, state.E.astype(et), coord, Es,
         jnp.asarray(seed % (2 ** 31), jnp.int32),
-        jnp.asarray(target, ct), jnp.asarray(step, ct),
-        jnp.asarray(model.scale, ftype()))
+        target, jnp.asarray(step, ct), jnp.asarray(model.scale, ftype()),
+        ct)
     aux = init_aux_batch(model, sigma)
     # store arrays unsynced (eager reductions cost ~0.1-1s on remote
     # backends); consumers materialize when reporting
-    set_route(f"pallas-rejfree-{rf.kind}", mode=mode, acc=acc, z_over_n=zacc)
+    set_route(f"pallas-rejfree-{rf.kind}", mode=mode, acc=acc, z_over_n=zacc,
+              dispatches=n_disp)
     return Es, MCState(sigma=sigma, aux=aux, E=E.astype(state.E.dtype),
                        key=state.key, accepted=state.accepted + acc)
 
@@ -227,7 +270,9 @@ def bklMC(model: Model, beta: float, iters: int, *, step: int = 1,
     backend: "pallas" / "auto" route hookless observer-less runs on sparse
     Pairwise (N <= 16384, K <= 16, int or float J — resident-lf inverse-
     column kernel, the fastest route for RRG-class graphs), integer
-    LatticeEA, and eligible FullyConnected models (chains % 128 == 0,
+    LatticeEA, GraphSAT (2 <= K <= 7, max_conn <= 64 — bit-packed
+    clause-count kernel, ops/sat_pallas.py), GraphPSpin3,
+    and eligible FullyConnected models (chains % 128 == 0,
     iters <= 1e9) through the rejection-free race kernels
     (ops/rejfree_pallas.py: sparse / lattice / VMEM-dense / HBM-streamed by
     structure and J size; float couplings carry f32 energies);

@@ -84,7 +84,8 @@ def rrrMC(model: Model, beta: float, iters: int, *, step: int = 1,
     (ops/rejfree_pallas.py mode="rrr", z/z' acceptance in a shifted log
     domain): sparse Pairwise (N <= 16384, K <= 16 — resident-lf kernel
     with O(deg) staged z', ~10x the dense streamed kernel on RRG N=1e4),
-    integer LatticeEA, and eligible FullyConnected models (VMEM-resident
+    integer LatticeEA, GraphSAT / GraphPSpin3 (bit-packed clause-count /
+    product-table kernels), and eligible FullyConnected models (VMEM-resident
     or HBM-streamed by J size; float couplings carry f32 energies). Double
     models (Quant/RE wrappers) keep the XLA path — rt.flatten() +
     rt.densify() a pairwise-representable wrapper stack, or use the

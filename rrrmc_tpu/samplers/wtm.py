@@ -146,7 +146,8 @@ def wtmMC(model: Model, beta: float, samples: int, *, step: float = 1.0,
 
     backend: "pallas" / "auto" route hookless observer-less runs on sparse
     Pairwise (N <= 16384, K <= 16 — resident-lf inverse-column kernel),
-    integer LatticeEA, and eligible FullyConnected models
+    integer LatticeEA, GraphSAT / GraphPSpin3 (bit-packed clause-count /
+    product-table kernels), and eligible FullyConnected models
     (chains % 128 == 0) through the rejection-free race kernels
     (ops/rejfree_pallas.py: sparse / lattice / VMEM-dense / HBM-streamed by
     structure and J size; float couplings carry f32 energies);

@@ -644,3 +644,18 @@ def test_pspin_boltzmann(rejfree_interp, mode):
     got = Es[:, Es.shape[1] // 4:].mean()
     sem = Es[:, Es.shape[1] // 4:].std() / np.sqrt(Es.shape[0] * 3.0)
     assert abs(got - E_exact) < max(5 * sem, 0.05), (got, E_exact, sem)
+
+
+def test_dispatch_guard_splits_large_runs(rejfree_interp):
+    """Structural relay-wedge guard: a large kernel run is auto-chunked into
+    multiple probe-calibrated dispatches (samplers/bkl.py _staged_run), so no
+    single dispatch can exceed the ~30 s relay budget by construction."""
+    import rrrmc_tpu as rt
+    from rrrmc_tpu.samplers.common import LAST_ROUTE
+
+    X = rt.GraphEA(4, 2, (-1, 1), seed=3)
+    Es, st = rt.bklMC(X, 2.0, iters=50_000, step=500, chains=128, seed=3,
+                      backend="pallas")
+    assert LAST_ROUTE["dispatches"] >= 2
+    E_re = jax.jit(jax.vmap(X.energy))(st.sigma)
+    np.testing.assert_array_equal(np.asarray(E_re), np.asarray(st.E))
