@@ -467,8 +467,13 @@ def _eo_sparse_kernel(seed_ref, n_ref, cdf_ref, nbr_ref, jc_ref,
     inv32 = jnp.float32(2.0 ** -32)
     half_f = jnp.float32(0.5)
 
-    nbr_cols = [nbr_ref[:, k][:, None] for k in range(K)]
-    jc_cols = [jc_ref[:, k][:, None] for k in range(K)]
+    # per-use column loads (hoisted [NP, 1] slices spill lane-padded
+    # tiles across the move loop — see ops/rejfree_pallas.py)
+    def nbr_col(k):
+        return nbr_ref[:, k][:, None]
+
+    def jc_col(k):
+        return jc_ref[:, k][:, None]
 
     def move(m, carry):
         sig, lf, E, emin, smin, itmin = carry
@@ -512,8 +517,8 @@ def _eo_sparse_kernel(seed_ref, n_ref, cdf_ref, nbr_ref, jc_ref,
         d_row = jnp.sum(jnp.where(onehot, -2 * sig, 0), axis=0,
                         keepdims=True).astype(lt)
         for k in range(K):
-            lf = lf + jc_cols[k] * jnp.where(
-                nbr_cols[k] == iwin, d_row, jnp.zeros((), lt))
+            lf = lf + jc_col(k) * jnp.where(
+                nbr_col(k) == iwin, d_row, jnp.zeros((), lt))
         sig = jnp.where(onehot, -sig, sig)            # unconditional flip
         E = E + dE_i
         better = E < emin
@@ -616,8 +621,11 @@ def _eo_pspin_kernel(*refs, N, NP, K, BT, t_bits):
     inv32 = jnp.float32(2.0 ** -32)
     half_f = jnp.float32(0.5)
 
-    p1_cols = [p1_ref[:, k][:, None] for k in range(K)]
-    p2_cols = [p2_ref[:, k][:, None] for k in range(K)]
+    def p1_col(k):
+        return p1_ref[:, k][:, None]
+
+    def p2_col(k):
+        return p2_ref[:, k][:, None]
 
     def move(m, carry):
         sig, c, qs, E, emin, smin, itmin = carry
@@ -650,7 +658,7 @@ def _eo_pspin_kernel(*refs, N, NP, K, BT, t_bits):
         dE_i = jnp.sum(jnp.where(onehot, 2 * half, 0), axis=0,
                        keepdims=True, dtype=jnp.int32)
         for k in range(K):
-            touched = (p1_cols[k] == iwin) | (p2_cols[k] == iwin)
+            touched = (p1_col(k) == iwin) | (p2_col(k) == iwin)
             c = c - 2 * jnp.where(touched, qs[k], 0)
             qs[k] = jnp.where(touched, -qs[k], qs[k])
         sig = jnp.where(onehot, -sig, sig)            # unconditional flip

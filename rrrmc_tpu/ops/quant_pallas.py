@@ -114,6 +114,8 @@ def composite_spec(model):
         return ent[1]
     dense = base
     if isinstance(dense, Pairwise) and not isinstance(dense, FullyConnected):
+        if dense.N % 128 != 0 or dense.N * model.M > _RING_NM_MAX:
+            return None       # can't qualify: skip the host-side densify
         try:
             dense = densify(dense)
         except AssertionError:
@@ -156,7 +158,11 @@ def quant_ring_spec(model):
 
 
 def replica_composite_eligible(model, chains: int) -> bool:
-    return chains % 128 == 0 and composite_spec(model) is not None
+    if chains % 128 != 0:
+        return False
+    if composite_spec(model) is not None:
+        return True
+    return composite_sparse_spec(model) is not None
 
 
 #: back-compat name used by earlier routing call sites
@@ -403,17 +409,30 @@ class PallasRingRejFree:
     def __init__(self, model, beta: float, mode: str, *,
                  block_chains: int = 128, chunk_moves: int = 512):
         spec = composite_spec(model)
+        self.sparse = spec is None
+        if self.sparse:
+            spec = composite_sparse_spec(model)
         assert spec is not None, "model is not replica-composite eligible"
         assert mode in ("bkl", "wtm", "rrr")
         self.model, self.mode = model, mode
         self.spec = spec
-        self.kind = spec["term"]
+        self.kind = spec["term"] + ("-sparse" if self.sparse else "")
         self.beta = jnp.asarray([beta], jnp.float32)
         self.block_chains = block_chains
         self.chunk_moves = chunk_moves
 
     def run(self, sigma, E, coord, Es, seed, target, step, scale):
         s = self.spec
+        if self.sparse:
+            base = self.model.resid_m.base
+            sigp, lfT = _sparse_comp_prep(
+                base, sigma, s["Nk"], s["NkP"], s["M"], not s["flt"])
+            return sparse_comp_run(
+                s["nbr"], s["jc"], s["hph"], s["vcol"], s["params"],
+                self.beta, sigp, lfT, E, coord, Es, seed, target, step,
+                scale, term=s["term"], Nk=s["Nk"], NkP=s["NkP"], M=s["M"],
+                bt=self.block_chains, chunk_moves=self.chunk_moves,
+                mode=self.mode, flt=s["flt"])
         return ring_rejfree_run(
             s["Jb"], s["hph"], s["params"], self.beta, sigma, E, coord,
             Es, seed, target, step, scale, term=s["term"], Nk=s["Nk"],
@@ -637,3 +656,329 @@ def _base_lf_init(sigma, Jb, hph, *, Nk, M, sb):
     lf = jnp.float32(sb) * jnp.einsum(
         "ij,bkj->bki", Jb.astype(jnp.float32), s)
     return (lf.reshape(B, M * Nk) + hph[None, :, 0]).T
+
+# ---------------------------------------------------------------------------
+# Sparse-base composites: GraphQuant / GraphRobustEnsemble over a SPARSE
+# Pairwise base (Quant(RRG), RE(RRG) — the reference's QT.jl:126-199 /
+# RE.jl:70-104 over DeltaE.jl's O(deg) caches). Instead of M dense matmuls,
+# the BASE local-field table lives RESIDENT in VMEM across moves (int32 for
+# integer bases: exact, no drift) and each flip updates it with the sparse
+# kernel's inverse-column trick on COMPOSITE-indexed neighbor tables (the
+# base [Nk, Kb] tables tiled per replica block, so cross-block isolation is
+# automatic). The wrapper term is re-derived per move: ring = two sublane
+# rolls by the padded block stride; star = M block adds for mu + the
+# unrolled fk select. Race / z / skip / staged-z' identical to the other
+# rejection-free kernels; energies f32 physical.
+# ---------------------------------------------------------------------------
+
+#: sparse-composite caps (resident [NMp, BT] tables like the sparse kernel)
+_SPARSE_COMP_NM_MAX = 16384
+_SPARSE_COMP_KB_MAX = 16
+
+_SPARSE_SPEC_CACHE: dict = {}
+
+
+def composite_sparse_spec(model):
+    """Kernel tables for a GraphQuant / GraphRobustEnsemble over a sparse
+    Pairwise base, or None: {term, nbr/jc [NMp, Kb] composite-indexed
+    inverse tables, hph/vcol [NMp, 1], params, M, Nk, NkP, flt}."""
+    from ..models.dense import FullyConnected
+    from ..models.pairwise import Pairwise
+    from ..models.replicas import QuantModel, Replicated, REModel
+    from ..samplers.common import bound_cache_put
+    from .rejfree_pallas import _sparse_rejfree_ok
+
+    if isinstance(model, QuantModel):
+        term = "ring"
+    elif isinstance(model, REModel):
+        term = "star"
+    else:
+        return None
+    resid = model.resid_m
+    if not isinstance(resid, Replicated) or resid.offset != 0:
+        return None
+    base = resid.base
+    if (not isinstance(base, Pairwise) or isinstance(base, FullyConnected)
+            or not _sparse_rejfree_ok(base)):
+        return None
+    Nk, M = base.N, model.M
+    NkP = -(-Nk // 8) * 8
+    NMp = NkP * M
+    if (M <= 2 or NMp > _SPARSE_COMP_NM_MAX
+            or base.K > _SPARSE_COMP_KB_MAX):
+        return None
+    if term == "star" and M > _STAR_M_MAX:
+        return None
+    consts = (float(model.inner_m.scale),
+              float(getattr(model.inner_m, "gamma", 0.0)),
+              float(getattr(model.inner_m, "beta_p", 0.0)))
+    key = (id(base.J), term, M, consts, float(resid.weight))
+    ent = _SPARSE_SPEC_CACHE.get(key)
+    if ent is not None and ent[0] is base.J:
+        return ent[1]
+    integer = jnp.issubdtype(base.J.dtype, jnp.integer)
+    jd = np.int32 if integer else np.float32
+    neigh = np.asarray(base.neigh)
+    Jb = np.asarray(base.J).astype(jd)
+    Kb = base.K
+    nbr = np.full((NMp, Kb), NMp, np.int32)       # sentinel: never a winner
+    jc = np.zeros((NMp, Kb), jd)
+    vcol = np.zeros((NMp, 1), np.int32)
+    sb = float(base.scale) * float(resid.weight)
+    hph = np.zeros((NMp, 1), np.float32)
+    hb = np.asarray(base.h, np.float64) * sb
+    for k in range(M):
+        r0 = k * NkP
+        nbr[r0:r0 + Nk] = neigh + r0
+        jc[r0:r0 + Nk] = Jb
+        vcol[r0:r0 + Nk, 0] = 1
+        hph[r0:r0 + Nk, 0] = hb
+    c4 = float(model.inner_m.scale) if term == "ring" else 0.0
+    fk = (tuple(float(v) for v in np.asarray(model.inner_m.fk))
+          if term == "star" else ())
+    spec = {
+        "term": term,
+        "nbr": jnp.asarray(nbr), "jc": jnp.asarray(jc),
+        "hph": jnp.asarray(hph), "vcol": jnp.asarray(vcol),
+        "sb": sb, "c4": c4, "fk": fk,
+        "params": jnp.asarray((sb, c4) + fk + (0.0,) * (M - len(fk)),
+                              jnp.float32),
+        "M": M, "Nk": Nk, "NkP": NkP, "flt": not integer,
+    }
+    bound_cache_put(_SPARSE_SPEC_CACHE, key, (base.J, spec))
+    return spec
+
+
+def _sparse_comp_kernel(seed_ref, beta_ref, target_ref, params_ref,
+                        nbr_ref, jc_ref, hph_ref, vcol_ref,
+                        sigma_ref, lf_ref, E_ref, coord_ref, acc_ref,
+                        zacc_ref,
+                        sigma_out, lf_out, E_out, coord_out, acc_out,
+                        zacc_out, cs_out, es_out,
+                        *, term, Nk, NkP, M, Kb, BT, n_moves, mode, flt):
+    """Race-selected moves on the [NMp, BT] composite with a RESIDENT base
+    local-field table (int32 for integer bases). nbr/jc are the composite-
+    indexed inverse tables; the wrapper extra is re-derived per move."""
+    wtm = mode == "wtm"
+    NMp = NkP * M
+    NM = Nk * M
+    seed_p = program_seed(seed_ref[0], pl.program_id(0))
+    pltpu.prng_seed(seed_p)
+    salt0 = seed_p * jnp.int32(1000003)
+    beta = beta_ref[0]
+    target = target_ref[0]
+    sbc = params_ref[0]
+    c4c = params_ref[1]
+    fk_c = [params_ref[2 + d] for d in range(M)]
+    iota_nb = jax.lax.broadcasted_iota(jnp.int32, (NMp, BT), 0)
+    valid = vcol_ref[:] == 1
+    lt = jnp.float32 if flt else jnp.int32
+    inv32 = jnp.float32(2.0 ** -32)
+    half_f = jnp.float32(0.5)
+    inf = jnp.float32(3.0e38)
+    log_n = jnp.log(jnp.float32(NM))
+
+    def to_uniform(rb):
+        return rb.astype(jnp.float32) * inv32 + half_f
+
+    # per-use column loads (a pre-sliced [NP, 1] value is lane-padded to a
+    # full tile and held live across the move loop — see ops/sat_pallas.py)
+    def nbr_col(k):
+        return nbr_ref[:, k][:, None]
+
+    def jc_col(k):
+        return jc_ref[:, k][:, None]
+
+    def dE_phys(sig, lf):
+        """f32 [NMp, BT] physical flip costs (the dense composite kernel's
+        identity with the resident base lf in place of the matmuls)."""
+        lff = sbc * lf.astype(jnp.float32) + hph_ref[:]
+        s_f = sig.astype(jnp.float32)
+        if term == "ring":
+            ring = (pltpu.roll(sig, NkP, axis=0)
+                    + pltpu.roll(sig, NMp - NkP, axis=0))
+            return 2.0 * s_f * (lff + c4c * ring.astype(jnp.float32))
+        mu = sig[0:NkP, :]
+        for k in range(1, M):
+            mu = mu + sig[k * NkP:(k + 1) * NkP, :]
+        rows = []
+        for k in range(M):
+            s_b = sig[k * NkP:(k + 1) * NkP, :]
+            idx = (mu - s_b + (M - 1)) >> 1
+            fkv = jnp.zeros((NkP, BT), jnp.float32)
+            for d in range(M):
+                fkv = fkv + jnp.where(idx == d, fk_c[d], jnp.float32(0.0))
+            rows.append(s_b.astype(jnp.float32) * fkv)
+        extra = jnp.concatenate(rows, axis=0)
+        return 2.0 * s_f * lff + extra
+
+    def logz_of(dE):
+        bE = beta * jnp.maximum(dE, 0.0)
+        m = jnp.min(jnp.where(valid, bE, inf), axis=0, keepdims=True)
+        zs = jnp.sum(jnp.where(valid, jnp.exp(m - bE), 0.0),
+                     axis=0, keepdims=True)
+        return bE, jnp.log(zs) - m
+
+    def move(m, carry):
+        sig, lf, E, coord, acc, zacc = carry
+        active = coord < target
+        dE = dE_phys(sig, lf)
+        bE, logz = logz_of(dE)
+        u = to_uniform(random_bits((NMp, BT), salt0 + 3 * m))
+        score = jnp.where(valid, jnp.log(-jnp.log(u)) + bE, inf)
+        mrow = jnp.min(score, axis=0, keepdims=True)
+        irow = jnp.min(jnp.where(score == mrow, iota_nb, NMp),
+                       axis=0, keepdims=True)
+        onehot = iota_nb == irow
+        dE_i = jnp.sum(jnp.where(onehot, dE, 0.0), axis=0, keepdims=True)
+        z_over_n = jnp.exp(logz - log_n)
+        zacc = zacc + jnp.where(active, z_over_n, jnp.float32(0.0))
+        # base-lf delta via the composite inverse columns (exact scatter)
+        d_row = jnp.sum(jnp.where(onehot, -2 * sig, 0), axis=0,
+                        keepdims=True).astype(lt)
+        delta = jnp.zeros((NMp, BT), lt)
+        for k in range(Kb):
+            delta = delta + jc_col(k) * jnp.where(
+                nbr_col(k) == irow, d_row, jnp.zeros((), lt))
+        if mode == "rrr":
+            sig2 = jnp.where(onehot, -sig, sig)
+            _, logz2 = logz_of(dE_phys(sig2, lf + delta))
+            ua = to_uniform(random_bits((1, BT), salt0 + 3 * m + 1))
+            do = active & (jnp.log(ua) < logz - logz2)
+            sig = jnp.where(onehot & do, -sig, sig)
+            lf = lf + jnp.where(do, delta, jnp.zeros((), lt))
+            E = E + jnp.where(do, dE_i, 0.0)
+            coord = coord + jnp.where(active, 1, 0)
+            acc = acc + do.astype(jnp.int32)
+        else:
+            sig = jnp.where(onehot & active, -sig, sig)
+            lf = lf + jnp.where(active, delta, jnp.zeros((), lt))
+            E = E + jnp.where(active, dE_i, 0.0)
+            acc = acc + active.astype(jnp.int32)
+        if wtm:
+            coord = coord + jnp.where(active, jnp.exp(mrow),
+                                      jnp.float32(0.0))
+        elif mode == "bkl":
+            u2 = to_uniform(random_bits((1, BT), salt0 + 3 * m + 2))
+            skip = _geom_skip(u2, z_over_n)
+            coord = coord + jnp.where(active, skip + 1, 0)
+        cs_out[pl.ds(m, 1), :] = coord
+        es_out[pl.ds(m, 1), :] = E
+        return sig, lf, E, coord, acc, zacc
+
+    sig0 = sigma_ref[:].astype(jnp.int32)
+    sig, lf, E, coord, acc, zacc = jax.lax.fori_loop(
+        0, n_moves, move,
+        (sig0, lf_ref[:], E_ref[:], coord_ref[:], acc_ref[:], zacc_ref[:]))
+    sigma_out[:] = sig.astype(jnp.int8)
+    lf_out[:] = lf
+    E_out[:] = E
+    coord_out[:] = coord
+    acc_out[:] = acc
+    zacc_out[:] = zacc
+
+
+@partial(jax.jit, static_argnames=("term", "Nk", "NkP", "M", "block_chains",
+                                   "n_moves", "mode", "flt"))
+def _pallas_sparse_comp_chunk(sigma, lfT, E, coord, acc, zacc, nbr, jc, hph,
+                              vcol, params, seed, beta, target, *, term,
+                              Nk, NkP, M, block_chains, n_moves, mode, flt):
+    """sigma [B, NMp] int8 (padded layout), lfT [NMp, B] base local
+    fields."""
+    sigmaT = sigma.T
+    NMp, B = sigmaT.shape
+    Kb = nbr.shape[1]
+    BT = block_chains
+    grid = (B // BT,)
+    ct = jnp.float32 if mode == "wtm" else jnp.int32
+    kernel = partial(_sparse_comp_kernel, term=term, Nk=Nk, NkP=NkP, M=M,
+                     Kb=Kb, BT=BT, n_moves=n_moves, mode=mode, flt=flt)
+    row = pl.BlockSpec((1, BT), lambda j: (0, j), memory_space=pltpu.VMEM)
+    blk = pl.BlockSpec((NMp, BT), lambda j: (0, j), memory_space=pltpu.VMEM)
+    stream = pl.BlockSpec((n_moves, BT), lambda j: (0, j),
+                          memory_space=pltpu.VMEM)
+
+    def tbl(cols):
+        return pl.BlockSpec((NMp, cols), lambda j: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    (sig_out, lf_out, E_out, coord_out, acc_out, zacc_out,
+     cs, es) = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)] * 4
+                  + [tbl(Kb), tbl(Kb), tbl(1), tbl(1)]
+                  + [blk, blk, row, row, row, row]),
+        out_specs=[blk, blk, row, row, row, row, stream, stream],
+        out_shape=[
+            jax.ShapeDtypeStruct((NMp, B), jnp.int8),
+            jax.ShapeDtypeStruct((NMp, B), lfT.dtype),
+            jax.ShapeDtypeStruct((1, B), jnp.float32),
+            jax.ShapeDtypeStruct((1, B), ct),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+            jax.ShapeDtypeStruct((1, B), jnp.float32),
+            jax.ShapeDtypeStruct((n_moves, B), ct),
+            jax.ShapeDtypeStruct((n_moves, B), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=_INTERPRET,
+    )(seed, beta, target, params, nbr, jc, hph, vcol, sigmaT, lfT,
+      E[None, :].astype(jnp.float32), coord[None, :].astype(ct),
+      acc[None, :], zacc[None, :])
+    return (sig_out.T, lf_out, E_out[0], coord_out[0], acc_out[0],
+            zacc_out[0], cs, es)
+
+
+@partial(jax.jit, static_argnames=("Nk", "NkP", "M", "base_int"))
+def _sparse_comp_prep(base, sigma, Nk, NkP, M, base_int):
+    """([B, NMp] padded spins, [NMp, B] base local fields) from the
+    sampler's [B, M*Nk] replica-major composite state."""
+    B = sigma.shape[0]
+    s = sigma.reshape(B, M, Nk)
+    lf = jax.vmap(jax.vmap(base.local_fields))(s)      # [B, M, Nk]
+    dt = jnp.int32 if base_int else jnp.float32
+    lf = lf.astype(dt)
+    pad = NkP - Nk
+    if pad:
+        s = jnp.concatenate(
+            [s, jnp.ones((B, M, pad), jnp.int8)], axis=2)
+        lf = jnp.concatenate([lf, jnp.zeros((B, M, pad), dt)], axis=2)
+    return s.reshape(B, M * NkP), lf.reshape(B, M * NkP).T
+
+
+@partial(jax.jit, static_argnames=("term", "Nk", "NkP", "M", "bt",
+                                   "chunk_moves", "mode", "flt"))
+def sparse_comp_run(nbr, jc, hph, vcol, params, beta, sigma, lfT, E, coord,
+                    Es, seed0, target, step, scale, *, term, Nk, NkP, M,
+                    bt, chunk_moves, mode, flt):
+    """Whole hookless run in ONE jit; sigma/lfT are the PADDED layout (prep
+    pads); returns sigma in the sampler's [B, M*Nk] layout."""
+    from ..samplers.bkl import _fill_checkpoints
+
+    B = sigma.shape[0]
+    target_arr = target.reshape(1)
+    acc = jnp.zeros((B,), jnp.int32)
+    zacc = jnp.zeros((B,), jnp.float32)
+
+    def cond(carry):
+        return jnp.min(carry[3]) < target
+
+    def body(carry):
+        sigma, lfT, E, coord, acc, zacc, Es, k = carry
+        seed = (seed0 + k * jnp.int32(7919)).reshape(1)
+        x_start = coord
+        e_start = E.astype(Es.dtype) * scale
+        sigma, lfT, E, coord, acc, zacc, cs, es = _pallas_sparse_comp_chunk(
+            sigma, lfT, E, coord, acc, zacc, nbr, jc, hph, vcol, params,
+            seed, beta, target_arr, term=term, Nk=Nk, NkP=NkP, M=M,
+            block_chains=bt, n_moves=chunk_moves, mode=mode, flt=flt)
+        Es = _fill_checkpoints(Es, step, x_start, e_start, cs,
+                               es.astype(Es.dtype) * scale)
+        return sigma, lfT, E, coord, acc, zacc, Es, k + 1
+
+    k0 = jnp.zeros((), jnp.int32)
+    sigma, lfT, E, coord, acc, zacc, Es, _ = jax.lax.while_loop(
+        cond, body, (sigma, lfT, E, coord, acc, zacc, Es, k0))
+    sig = sigma.reshape(B, M, NkP)[:, :, :Nk].reshape(B, M * Nk)
+    return sig, E, coord, Es, acc, zacc

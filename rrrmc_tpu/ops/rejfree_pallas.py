@@ -897,9 +897,16 @@ def _rejfree_sparse_kernel(seed_ref, beta2s_ref, target_ref, nbr_ref, jc_ref,
     def to_uniform(rb):
         return rb.astype(jnp.float32) * inv32 + half_f
 
-    # hoisted loop constants: per-k neighbor / coupling columns [NP, 1]
-    nbr_cols = [nbr_ref[:, k][:, None] for k in range(K)]
-    jc_cols = [jc_ref[:, k][:, None] for k in range(K)]
+    # per-use column loads: a pre-sliced [NP, 1] value is lane-padded to a
+    # full (8, 128) tile and held live across the whole move loop (2K such
+    # hoisted columns cost 2K * NP*BT*4 bytes of register spill — the SAT
+    # kernel OOMed exactly this way at Cmax=27, see ops/sat_pallas.py);
+    # in-loop ref loads are transient and reuse registers
+    def nbr_col(k):
+        return nbr_ref[:, k][:, None]
+
+    def jc_col(k):
+        return jc_ref[:, k][:, None]
 
     def logz_of(sig, lf):
         """Shifted log-sum-exp of -bE over valid rows: (bE, log z)."""
@@ -929,8 +936,8 @@ def _rejfree_sparse_kernel(seed_ref, beta2s_ref, target_ref, nbr_ref, jc_ref,
                         keepdims=True).astype(lt)     # [1, BT]
         delta = jnp.zeros((NP, BT), lt)
         for k in range(K):
-            delta = delta + jc_cols[k] * jnp.where(
-                nbr_cols[k] == irow, d_row, jnp.zeros((), lt))
+            delta = delta + jc_col(k) * jnp.where(
+                nbr_col(k) == irow, d_row, jnp.zeros((), lt))
         if mode == "rrr":
             # staged z': the hypothetically flipped state's table is just
             # lf + delta (and the winner's own row is unchanged: no self
@@ -1146,8 +1153,12 @@ def _rejfree_pspin_kernel(*refs, N, NP, K, BT, n_moves, mode):
     def to_uniform(rb):
         return rb.astype(jnp.float32) * inv32 + half_f
 
-    p1_cols = [p1_ref[:, k][:, None] for k in range(K)]
-    p2_cols = [p2_ref[:, k][:, None] for k in range(K)]
+    # per-use column loads (see the sparse kernel note above)
+    def p1_col(k):
+        return p1_ref[:, k][:, None]
+
+    def p2_col(k):
+        return p2_ref[:, k][:, None]
 
     def logz_of(sig, c):
         half = sig * c
@@ -1171,7 +1182,7 @@ def _rejfree_pspin_kernel(*refs, N, NP, K, BT, n_moves, mode):
                        keepdims=True, dtype=jnp.int32)
         z_over_n = jnp.exp(logz - log_n)
         zacc = zacc + jnp.where(active, z_over_n, jnp.float32(0.0))
-        touched = [((p1_cols[k] == irow) | (p2_cols[k] == irow))
+        touched = [((p1_col(k) == irow) | (p2_col(k) == irow))
                    for k in range(K)]
         delta = jnp.zeros((NP, BT), jnp.int32)
         for k in range(K):
@@ -1632,15 +1643,15 @@ class PallasRejectionFree:
         Returns (sigma, E, coord, Es, acc, zacc): acc = applied flips per
         chain, zacc = summed z/N over moves (acceptance diagnostics)."""
         if self.kind == "sat":
-            from .sat_pallas import _sat_prep, rejfree_sat_run
+            from .sat_pallas import _pad_sigma, rejfree_sat_run
 
             t = self.tab
-            sigp, wTs = _sat_prep(self.model, sigma, t.NP, t.Cmax, t.bits,
-                                  t.spw, t.nw)
+            m = self.model
             return rejfree_sat_run(
-                t.TL, t.P, t.SL, self.betas, sigp, wTs, E, coord, Es, seed,
-                target, step, scale, n_phys=self.model.N, cmax=t.Cmax,
-                k_=t.K, bt=self.block_chains, chunk_moves=self.chunk_moves,
+                t.TL, t.P, t.SL, m.A, m.L, m.T, self.betas,
+                _pad_sigma(sigma, t.NP), E, coord, Es, seed, target, step,
+                scale, n_phys=m.N, cmax=t.Cmax, k_=t.K,
+                bt=self.block_chains, chunk_moves=self.chunk_moves,
                 mode=self.mode, bits=t.bits, spw=t.spw, nw=t.nw)
         if self.kind == "sparse":
             from ..samplers.common import init_lfT
@@ -1691,7 +1702,7 @@ class PallasRejectionFree:
             t = self.tab
             sigp, wTs = _sat_prep(self.model, sigma, t.NP, t.Cmax, t.bits,
                                   t.spw, t.nw)
-            sig, wTs, E, coord, acc, zacc, cs, es = \
+            sig, E, coord, acc, zacc, cs, es = \
                 _pallas_rejfree_sat_chunk(
                     sigp, wTs, E, coord, acc, zacc, t.TL, t.P, t.SL,
                     jnp.asarray([seed], jnp.int32), self.betas, tgt,

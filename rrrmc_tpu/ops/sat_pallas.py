@@ -10,9 +10,8 @@ TPU-native the same cache is VARIABLE-major and BIT-PACKED: for variable j and
 clause slot c < Cmax, the sat count S of j's c-th clause lives in a
 ceil(log2(K+1))-bit field of a resident [NP, BT] int32 word column — the whole
 cache is ceil(Cmax / slots_per_word) words (2 words for K=3, Cmax <= 32), kept
-in VMEM across moves like the pspin kernel's product tables
-(ops/rejfree_pallas.py:1095-1112). Everything per move is a fused [NP, BT]
-VPU pass:
+in VMEM across a kernel chunk like the pspin kernel's product tables
+(ops/rejfree_pallas.py). Everything per move is a fused [NP, BT] VPU pass:
 
 * dE recompute (the lfields of SAT.jl:213-225): per slot c,
   r = field_c, m = (sigma == TL_c) and
@@ -23,8 +22,7 @@ VPU pass:
   on static partner tables (the 3-spin inverse-column trick with literal
   signs): slot c of variable j changes by nsw * sign iff w is j itself
   (sign TL[j,c]) or one of the K-1 partners of j's c-th clause
-  (sign SL_t[j,c] where P_t[j,c] == w). Per-slot updates accumulate into the
-  packed words with static shifts, so the commit is O(words), not O(Cmax).
+  (sign SL_t[j,c] where P_t[j,c] == w).
 
 FIELD-ARITHMETIC CLOSURE (why +-1 adds into 2-3 bit fields can never borrow
 or carry across fields): a count can only decrement when a satisfier flips
@@ -34,6 +32,18 @@ So each field stays in [0, K] by induction from a correct init, with no
 inter-field carries. Padded slots hold the constant 2 (K >= 2), which is
 neither 0 nor 1 and is never updated (partner sentinels == N never match a
 winner row < N; padded own-slot signs are 0), so they contribute nothing.
+
+COMPILE-TIME SHAPE (learned the hard way): an unrolled python loop over the
+Cmax slots multiplies the Mosaic program by Cmax, and every [NP, 1] ->
+[NP, BT] lane-broadcast inside it is emitted per sublane tile — compile time
+scaled ~N * Cmax (>28 min at N=1e4 before this restructuring; the
+pre-sliced-columns variant additionally spilled 694 MB of lane-padded
+registers). The slot loop is therefore a DYNAMIC `fori_loop`: the static
+tables are laid out one slot per LANE of [NP, 128] arrays and rotated by one
+lane per iteration (`pltpu.roll(x, 127, axis=1)`), so every per-slot access
+is the STATIC lane-0 column; the packed-word index is resolved by a tiny
+where-chain over the nw words and dynamic scalar shifts. One slot body in
+the program instead of Cmax.
 
 Exactness: dE and E are exact int32 (#violated clauses); the race / log-z /
 skip / staged-z' machinery is shared with ops/rejfree_pallas.py (shifted log
@@ -59,15 +69,13 @@ _INTERPRET = interpret_params()
 
 _I32_MAX = np.int32(2 ** 31 - 1)
 
-#: kernel caps: the move loop keeps ~10 live [NP, BT] i32 arrays plus the
-#: packed word blocks; N*BT*~52B must fit the 128MB scoped limit at BT=128
+#: kernel caps: the move loop keeps ~12 live [NP, BT] i32 arrays plus the
+#: packed word blocks and the rolled [NP, 128] tables
 _SAT_N_MAX = 16384
-#: clause-slot cap (resident packed-word budget and per-move pass count)
-_SAT_CMAX = 64
-#: literals per clause: >= 2 (the padded-slot sentinel value 2 must be a
-#: count that real updates can never produce... it can — 2 is a valid count —
-#: but padded slots are never UPDATED, so any init in [2, K] works; K >= 2
-#: guarantees 2 fits the field), <= 7 (3-bit fields)
+#: clause-slot cap: one lane per slot in the rolled [NP, 128] tables
+_SAT_CMAX = 128
+#: literals per clause: >= 2 (so the padded-slot sentinel count 2 fits the
+#: field and is never 0/1), <= 7 (3-bit fields)
 _SAT_K_MIN = 2
 _SAT_K_MAX = 7
 
@@ -90,7 +98,8 @@ def sat_rejfree_ok(model) -> bool:
     if not (isinstance(model, SATModel)
             and 8 <= model.N <= _SAT_N_MAX
             and _SAT_K_MIN <= model.K <= _SAT_K_MAX
-            and 1 <= model.Cmax <= _SAT_CMAX):
+            and 1 <= model.Cmax <= min(_SAT_CMAX,
+                                       128 // max(model.K - 1, 1))):
         return False
     key = id(model.A)
     ent = _SAT_OK_CACHE.get(key)
@@ -107,25 +116,29 @@ def sat_rejfree_ok(model) -> bool:
 
 
 class _SatTables:
-    """Static kernel tables for one SATModel.
+    """Static kernel tables for one SATModel, one clause slot per LANE
+    (rotated in-kernel so slot access is always the static lane 0):
 
-    TL [NP, Cmax] i32: literal sign of j in its c-th clause (0 padding).
-    P  [NP, (K-1)*Cmax] i32: the K-1 partner variables of j's c-th clause,
-       column t*Cmax + c (sentinel N on padding).
-    SL [NP, (K-1)*Cmax] i32: the partner literal signs (0 on padding).
+    TL [NP, 128] i32: literal sign of j in its c-th clause (0 padding).
+    P  [NP, 128] i32: the K-1 partner variables of j's c-th clause, packed
+       as lane sections t*SEC + c with SEC = 128 // (K-1) — one table
+       instead of K-1 halves the rolled-table VMEM (sentinel N on padding).
+    SL [NP, 128] i32: the partner literal signs in the same layout (0 pad).
     """
 
     def __init__(self, model):
         N, K, Cmax = model.N, model.K, model.Cmax
         NP = -(-N // 8) * 8
+        SEC = 128 // (K - 1)
+        assert Cmax <= SEC, (Cmax, SEC)
         A = np.asarray(model.A)
         L = np.asarray(model.L)
         T = np.asarray(model.T)
         TLm = np.asarray(model.TL)
-        TL = np.zeros((NP, Cmax), np.int32)
-        TL[:N] = TLm
-        P = np.full((NP, (K - 1) * Cmax), N, np.int32)
-        SL = np.zeros((NP, (K - 1) * Cmax), np.int32)
+        TL = np.zeros((NP, 128), np.int32)
+        TL[:N, :Cmax] = TLm
+        P = np.full((NP, 128), N, np.int32)
+        SL = np.zeros((NP, 128), np.int32)
         Mc = model.Mc
         for j in range(N):
             for c in range(Cmax):
@@ -137,8 +150,8 @@ class _SatTables:
                     v = int(A[a, k])
                     if v == j or v >= N:
                         continue
-                    P[j, t * Cmax + c] = v
-                    SL[j, t * Cmax + c] = int(L[a, k])
+                    P[j, t * SEC + c] = v
+                    SL[j, t * SEC + c] = int(L[a, k])
                     t += 1
         self.TL = jnp.asarray(TL)
         self.P = jnp.asarray(P)
@@ -146,7 +159,22 @@ class _SatTables:
         self.NP = NP
         self.Cmax = Cmax
         self.K = K
+        self.SEC = SEC
         self.bits, self.spw, self.nw = _field_params(K, Cmax)
+
+
+def _pack_counts(R, bits, spw, nw, cmax):
+    """[B, NP, Cmax] counts -> nw-tuple of [NP, B] packed words."""
+    words = []
+    for w in range(nw):
+        acc = jnp.zeros(R.shape[:2], jnp.int32)
+        for pp in range(spw):
+            c = w * spw + pp
+            if c >= cmax:
+                break
+            acc = (acc + (R[:, :, c] << (pp * bits))).astype(jnp.int32)
+        words.append(acc.T)
+    return tuple(words)
 
 
 @partial(jax.jit, static_argnames=("np_", "cmax", "bits", "spw", "nw"))
@@ -164,21 +192,114 @@ def _sat_prep(model, sigma, np_, cmax, bits, spw, nw):
             [sigma, jnp.ones((B, pad), jnp.int8)], axis=1)
         R = jnp.concatenate(
             [R, jnp.full((B, pad, cmax), 2, jnp.int32)], axis=1)
-    words = []
-    for w in range(nw):
-        acc = jnp.zeros((B, np_), jnp.int32)
-        for p in range(spw):
-            c = w * spw + p
-            if c >= cmax:
-                break
-            acc = (acc + (R[:, :, c] << (p * bits))).astype(jnp.int32)
-        words.append(acc.T)
-    return sigma, tuple(words)
+    return sigma, _pack_counts(R, bits, spw, nw, cmax)
 
 
-def _sat_kernel_common(NP, BT, N):
-    iota_nb = jax.lax.broadcasted_iota(jnp.int32, (NP, BT), 0)
-    return iota_nb, iota_nb < N
+@partial(jax.jit, static_argnames=("np_",))
+def _pad_sigma(sigma, np_):
+    """[B, N] -> [B, NP] with +1 (frozen, zero-degree) padding rows."""
+    pad = np_ - sigma.shape[1]
+    if pad:
+        B = sigma.shape[0]
+        sigma = jnp.concatenate(
+            [sigma, jnp.ones((B, pad), jnp.int8)], axis=1)
+    return sigma
+
+
+def _sat_machinery(tl_ref, p_ref, sl_ref, *, K, Cmax, BT, bits, spw, nw):
+    """Shared dynamic slot-loop helpers (see COMPILE-TIME SHAPE above).
+    p_ref/sl_ref pack the K-1 partner sections at lane stride SEC."""
+    SEC = 128 // (K - 1)
+    fmask = jnp.int32((1 << bits) - 1)
+
+    def roll1(x):
+        return pltpu.roll(x, 127, axis=1)     # left by one lane
+
+    def field(ws, c):
+        """Packed count of slot c (dynamic): where-chain word select +
+        dynamic scalar shift."""
+        wsel = c // spw
+        sh = jax.lax.rem(c, spw) * bits
+        word = ws[0]
+        for w in range(1, nw):
+            word = jnp.where(wsel == w, ws[w], word)
+        return (word >> sh) & fmask
+
+    def lf_of(sig, ws):
+        """dE of flipping each variable, recomputed from the resident
+        counts (stateless — cannot desync; the lfields of
+        SAT.jl:213-225)."""
+        def step(c, carry):
+            lf, tl_t = carry
+            r = field(ws, c)
+            m = sig == tl_t[:, 0:1]
+            lf = lf + jnp.where((r == 1) & m, 1, 0) \
+                    - jnp.where(r == 0, 1, 0)
+            return lf, roll1(tl_t)
+
+        lf, _ = jax.lax.fori_loop(
+            0, Cmax, step,
+            (jnp.zeros(sig.shape, jnp.int32), tl_ref[:]))
+        return lf
+
+    def slot_upd(tl_t, p_t, sl_t, irow, onehot, nsw_eff):
+        """Count delta of the CURRENT slot (lane 0 of each section) under
+        a flip of the winner, scaled by the pre-masked new winner spin
+        (0 rows apply nothing): +-1 where the winner is the slot's
+        variable itself or one of its K-1 clause partners (sentinels
+        never match)."""
+        upd = onehot * tl_t[:, 0:1]
+        for t in range(K - 1):
+            upd = upd + jnp.where(p_t[:, t * SEC:t * SEC + 1] == irow,
+                                  sl_t[:, t * SEC:t * SEC + 1], 0)
+        return upd * nsw_eff
+
+    def apply_ws(ws, c, upd):
+        """ws[c // spw] += upd << shift(c), dynamically."""
+        wsel = c // spw
+        sh = jax.lax.rem(c, spw) * bits
+        upd_sh = jnp.left_shift(upd, sh)
+        return [(ws[w] + jnp.where(wsel == w, upd_sh, 0)).astype(jnp.int32)
+                for w in range(nw)]
+
+    def update_pass(ws, irow, onehot, nsw_eff):
+        """Commit all slot deltas for a flip of the winner."""
+        def step(c, carry):
+            ws, tl_t, p_t, sl_t = carry
+            upd = slot_upd(tl_t, p_t, sl_t, irow, onehot, nsw_eff)
+            ws = apply_ws(ws, c, upd)
+            return (ws, roll1(tl_t), roll1(p_t), roll1(sl_t))
+
+        ws, _, _, _ = jax.lax.fori_loop(
+            0, Cmax, step, (list(ws), tl_ref[:], p_ref[:], sl_ref[:]))
+        return ws
+
+    def trial_dlf(sig, ws, irow, onehot, nsw):
+        """dE-table delta of the hypothetical flip (for the staged z'):
+        per slot, new-contribution minus old-contribution. The flipped
+        spins are re-derived per slot from (sig, onehot) instead of being
+        held live across the pass."""
+        def step(c, carry):
+            dlf, tl_t, p_t, sl_t = carry
+            upd = slot_upd(tl_t, p_t, sl_t, irow, onehot, nsw)
+            r = field(ws, c)
+            tl_c = tl_t[:, 0:1]
+            mo = sig == tl_c
+            r2 = r + upd
+            m2 = jnp.where(onehot, -sig, sig) == tl_c
+            dlf = dlf + jnp.where((r2 == 1) & m2, 1, 0) \
+                      - jnp.where(r2 == 0, 1, 0) \
+                      - jnp.where((r == 1) & mo, 1, 0) \
+                      + jnp.where(r == 0, 1, 0)
+            return (dlf, roll1(tl_t), roll1(p_t), roll1(sl_t))
+
+        dlf, _, _, _ = jax.lax.fori_loop(
+            0, Cmax, step,
+            (jnp.zeros(sig.shape, jnp.int32), tl_ref[:], p_ref[:],
+             sl_ref[:]))
+        return dlf
+
+    return lf_of, update_pass, trial_dlf
 
 
 def _rejfree_sat_kernel(*refs, N, NP, K, Cmax, BT, n_moves, mode, bits, spw,
@@ -186,52 +307,35 @@ def _rejfree_sat_kernel(*refs, N, NP, K, Cmax, BT, n_moves, mode, bits, spw,
     """One chunk of `n_moves` race-selected moves on a [NP, BT] block with
     resident packed clause-count words.
 
-    refs: seed, betas, target (SMEM); TL [NP, Cmax], P/SL [NP, (K-1)*Cmax]
-    (VMEM); sigma blk; nw packed word blks; E/coord/acc/zacc rows; then the
-    matching outputs + the (coord, E) checkpoint streams."""
+    refs: seed, betas, target (SMEM); TL/P/SL [NP, 128] lane-section tables; sigma blk; nw packed word blks
+    (INPUT-ONLY — the run loop re-derives them from the updated spins each
+    chunk, saving their output windows' VMEM); E/coord/acc/zacc rows; then
+    the outputs + the (coord, E) checkpoint streams."""
     (seed_ref, betas_ref, target_ref, tl_ref, p_ref, sl_ref,
      sigma_ref) = refs[:7]
     w_refs = refs[7:7 + nw]
     E_ref, coord_ref, acc_ref, zacc_ref = refs[7 + nw:11 + nw]
     outs = refs[11 + nw:]
     sigma_out = outs[0]
-    w_outs = outs[1:1 + nw]
-    (E_out, coord_out, acc_out, zacc_out, cs_out, es_out) = outs[1 + nw:]
+    (E_out, coord_out, acc_out, zacc_out, cs_out, es_out) = outs[1:]
     wtm = mode == "wtm"
     seed_p = program_seed(seed_ref[0], pl.program_id(0))
     pltpu.prng_seed(seed_p)
     salt0 = seed_p * jnp.int32(1000003)
     betas = betas_ref[0]
     target = target_ref[0]
-    iota_nb, valid = _sat_kernel_common(NP, BT, N)
-    fmask = jnp.int32((1 << bits) - 1)
+    iota_nb = jax.lax.broadcasted_iota(jnp.int32, (NP, BT), 0)
+    valid = iota_nb < N
     inv32 = jnp.float32(2.0 ** -32)
     half_f = jnp.float32(0.5)
     inf = jnp.float32(3.0e38)
     log_n = jnp.log(jnp.float32(N))
+    lf_of, update_pass, trial_dlf = _sat_machinery(
+        tl_ref, p_ref, sl_ref, K=K, Cmax=Cmax, BT=BT, bits=bits, spw=spw,
+        nw=nw)
 
     def to_uniform(rb):
         return rb.astype(jnp.float32) * inv32 + half_f
-
-    tl_cols = [tl_ref[:, c][:, None] for c in range(Cmax)]
-    p_cols = [[p_ref[:, t * Cmax + c][:, None] for c in range(Cmax)]
-              for t in range(K - 1)]
-    sl_cols = [[sl_ref[:, t * Cmax + c][:, None] for c in range(Cmax)]
-               for t in range(K - 1)]
-
-    def field(ws, c):
-        return (ws[c // spw] >> ((c % spw) * bits)) & fmask
-
-    def lf_of(sig, ws):
-        """dE of flipping each variable, recomputed from the resident
-        counts (stateless — cannot desync; the lfields of SAT.jl:213-225)."""
-        lf = jnp.zeros((NP, BT), jnp.int32)
-        for c in range(Cmax):
-            r = field(ws, c)
-            m = sig == tl_cols[c]
-            lf = lf + jnp.where((r == 1) & m, 1, 0) \
-                    - jnp.where(r == 0, 1, 0)
-        return lf
 
     def logz_of(lf):
         bE = betas * jnp.maximum(lf, 0).astype(jnp.float32)
@@ -239,15 +343,6 @@ def _rejfree_sat_kernel(*refs, N, NP, K, Cmax, BT, n_moves, mode, bits, spw,
         zs = jnp.sum(jnp.where(valid, jnp.exp(m - bE), 0.0),
                      axis=0, keepdims=True)
         return bE, jnp.log(zs) - m
-
-    def slot_upd(c, irow, onehot, nsw):
-        """Count delta of slot c under a (hypothetical) flip of the winner:
-        +-1 where the winner is the slot's variable itself or one of its
-        K-1 clause partners, 0 elsewhere (sentinels never match)."""
-        upd = onehot * tl_cols[c]
-        for t in range(K - 1):
-            upd = upd + jnp.where(p_cols[t][c] == irow, sl_cols[t][c], 0)
-        return upd * nsw
 
     def move(m, carry):
         sig, ws, E, coord, acc, zacc = carry
@@ -267,41 +362,21 @@ def _rejfree_sat_kernel(*refs, N, NP, K, Cmax, BT, n_moves, mode, bits, spw,
         z_over_n = jnp.exp(logz - log_n)
         zacc = zacc + jnp.where(active, z_over_n, jnp.float32(0.0))
         if mode == "rrr":
-            # trial pass: per-slot deltas accumulate into packed words AND
-            # into the dE-table delta, so z' needs no second recompute
-            sig2 = jnp.where(onehot, -sig, sig)
-            updw = [jnp.zeros((NP, BT), jnp.int32) for _ in range(nw)]
-            dlf = jnp.zeros((NP, BT), jnp.int32)
-            for c in range(Cmax):
-                upd = slot_upd(c, irow, onehot, nsw)
-                r = field(ws, c)
-                mo = sig == tl_cols[c]
-                r2 = r + upd
-                m2 = sig2 == tl_cols[c]
-                dlf = dlf + jnp.where((r2 == 1) & m2, 1, 0) \
-                          - jnp.where(r2 == 0, 1, 0) \
-                          - jnp.where((r == 1) & mo, 1, 0) \
-                          + jnp.where(r == 0, 1, 0)
-                updw[c // spw] = updw[c // spw] + upd * (1 << ((c % spw)
-                                                               * bits))
+            # staged z': the trial pass accumulates the dE-table delta, so
+            # z' needs no second full recompute; the commit pass re-derives
+            # the slot deltas under the accept mask
+            dlf = trial_dlf(sig, ws, irow, onehot, nsw)
             _, logz2 = logz_of(lf + dlf)
             ua = to_uniform(random_bits((1, BT), salt0 + 3 * m + 1))
             do = active & (jnp.log(ua) < logz - logz2)
             sig = jnp.where(onehot & do, -sig, sig)
-            ws = [(ws[w] + jnp.where(do, updw[w], 0)).astype(jnp.int32)
-                  for w in range(nw)]
+            ws = update_pass(ws, irow, onehot, jnp.where(do, nsw, 0))
             E = E + jnp.where(do, dE_i, 0)
             coord = coord + jnp.where(active, 1, 0)
             acc = acc + do.astype(jnp.int32)
         else:
-            updw = [jnp.zeros((NP, BT), jnp.int32) for _ in range(nw)]
-            for c in range(Cmax):
-                upd = slot_upd(c, irow, onehot, nsw)
-                updw[c // spw] = updw[c // spw] + upd * (1 << ((c % spw)
-                                                               * bits))
             sig = jnp.where(onehot & active, -sig, sig)
-            ws = [(ws[w] + jnp.where(active, updw[w], 0)).astype(jnp.int32)
-                  for w in range(nw)]
+            ws = update_pass(ws, irow, onehot, jnp.where(active, nsw, 0))
             E = E + jnp.where(active, dE_i, 0)
             acc = acc + active.astype(jnp.int32)
         if wtm:
@@ -321,8 +396,6 @@ def _rejfree_sat_kernel(*refs, N, NP, K, Cmax, BT, n_moves, mode, bits, spw,
         0, n_moves, move,
         (sig0, ws0, E_ref[:], coord_ref[:], acc_ref[:], zacc_ref[:]))
     sigma_out[:] = sig.astype(jnp.int8)
-    for w in range(nw):
-        w_outs[w][:] = ws[w]
     E_out[:] = E
     coord_out[:] = coord
     acc_out[:] = acc
@@ -335,7 +408,8 @@ def _pallas_rejfree_sat_chunk(sigma, wTs, E, coord, acc, zacc, TL, P, SL,
                               seed, betas, target, *, n_phys, cmax, k_,
                               block_chains, n_moves, mode, bits, spw, nw):
     """sigma [B, NP] int8 (rows >= n_phys are +1 padding), wTs: nw-tuple of
-    [NP, B] packed count words."""
+    [NP, B] packed count words (input-only; callers re-derive from the
+    returned spins). TL/P/SL [NP, 128]."""
     sigmaT = sigma.T
     NP, B = sigmaT.shape
     BT = block_chains
@@ -348,64 +422,79 @@ def _pallas_rejfree_sat_chunk(sigma, wTs, E, coord, acc, zacc, TL, P, SL,
     blk = pl.BlockSpec((NP, BT), lambda j: (0, j), memory_space=pltpu.VMEM)
     stream = pl.BlockSpec((n_moves, BT), lambda j: (0, j),
                           memory_space=pltpu.VMEM)
-
-    def tbl(cols):
-        return pl.BlockSpec((NP, cols), lambda j: (0, 0),
-                            memory_space=pltpu.VMEM)
-
+    tbl = pl.BlockSpec((NP, 128), lambda j: (0, 0), memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
-                  + [tbl(cmax), tbl((k_ - 1) * cmax), tbl((k_ - 1) * cmax)]
+                  + [tbl, tbl, tbl]
                   + [blk] + [blk] * nw + [row, row, row, row]),
-        out_specs=[blk] + [blk] * nw + [row, row, row, row, stream, stream],
-        out_shape=([jax.ShapeDtypeStruct((NP, B), jnp.int8)]
-                   + [jax.ShapeDtypeStruct((NP, B), jnp.int32)] * nw
-                   + [jax.ShapeDtypeStruct((1, B), jnp.int32),
-                      jax.ShapeDtypeStruct((1, B), ct),
-                      jax.ShapeDtypeStruct((1, B), jnp.int32),
-                      jax.ShapeDtypeStruct((1, B), jnp.float32),
-                      jax.ShapeDtypeStruct((n_moves, B), ct),
-                      jax.ShapeDtypeStruct((n_moves, B), jnp.int32)]),
+        out_specs=[blk, row, row, row, row, stream, stream],
+        out_shape=[jax.ShapeDtypeStruct((NP, B), jnp.int8),
+                   jax.ShapeDtypeStruct((1, B), jnp.int32),
+                   jax.ShapeDtypeStruct((1, B), ct),
+                   jax.ShapeDtypeStruct((1, B), jnp.int32),
+                   jax.ShapeDtypeStruct((1, B), jnp.float32),
+                   jax.ShapeDtypeStruct((n_moves, B), ct),
+                   jax.ShapeDtypeStruct((n_moves, B), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=_INTERPRET,
     )(seed, betas, target, TL, P, SL, sigmaT, *wTs,
       E[None, :].astype(jnp.int32), coord[None, :].astype(ct),
       acc[None, :], zacc[None, :])
-    sig_out = outs[0]
-    w_outs = tuple(outs[1:1 + nw])
-    E_out, coord_out, acc_out, zacc_out, cs, es = outs[1 + nw:]
-    return (sig_out.T, w_outs, E_out[0], coord_out[0], acc_out[0],
+    sig_out, E_out, coord_out, acc_out, zacc_out, cs, es = outs
+    return (sig_out.T, E_out[0], coord_out[0], acc_out[0],
             zacc_out[0], cs, es)
+
+
+def _sat_words_of(sigma_pad, A, L, T, *, n_phys, np_, cmax, bits, spw, nw):
+    """Packed count words from the PADDED spins (traceable: runs inside the
+    run-loop body once per chunk, so the kernel needs no word outputs)."""
+    B = sigma_pad.shape[0]
+    sig = sigma_pad[:, :n_phys].astype(jnp.int32)
+    se = jnp.concatenate([sig, jnp.zeros((B, 1), jnp.int32)], axis=1)
+    S = jnp.sum((se[:, A] == L[None]).astype(jnp.int32), axis=2)  # [B, Mc]
+    Se = jnp.concatenate([S, jnp.full((B, 1), 2, jnp.int32)], axis=1)
+    R = Se[:, T]                                       # [B, N, Cmax]
+    pad = np_ - n_phys
+    if pad:
+        R = jnp.concatenate(
+            [R, jnp.full((B, pad, cmax), 2, jnp.int32)], axis=1)
+    return _pack_counts(R, bits, spw, nw, cmax)
 
 
 @partial(jax.jit, static_argnames=("n_phys", "cmax", "k_", "bt",
                                    "chunk_moves", "mode", "bits", "spw",
                                    "nw"))
-def rejfree_sat_run(TL, P, SL, betas, sigma, wTs, E, coord, Es, seed0,
+def rejfree_sat_run(TL, P, SL, A, L, T, betas, sigma, E, coord, Es, seed0,
                     target, step, scale, *, n_phys, cmax, k_, bt,
                     chunk_moves, mode, bits, spw, nw):
     """SAT analog of `rejfree_sparse_run`: whole hookless run in ONE jit;
-    sigma is the PADDED [B, NP] state (prep pads)."""
+    sigma is the PADDED [B, NP] state. The packed count words are
+    re-derived from the spins at every chunk boundary (one XLA gather pass,
+    ~2% of a 1024-move chunk) — exactly equal to the kernel's internal
+    words, so the kernel carries them only within a chunk."""
     from ..samplers.bkl import _fill_checkpoints
 
     B = sigma.shape[0]
+    np_ = sigma.shape[1]
     target_arr = target.reshape(1)
     acc = jnp.zeros((B,), jnp.int32)
     zacc = jnp.zeros((B,), jnp.float32)
 
     def cond(carry):
-        coord = carry[3]
+        coord = carry[2]
         return jnp.min(coord) < target
 
     def body(carry):
-        sigma, wTs, E, coord, acc, zacc, Es, k = carry
+        sigma, E, coord, acc, zacc, Es, k = carry
+        wTs = _sat_words_of(sigma, A, L, T, n_phys=n_phys, np_=np_,
+                            cmax=cmax, bits=bits, spw=spw, nw=nw)
         seed = (seed0 + k * jnp.int32(7919)).reshape(1)
         x_start = coord
         e_start = E.astype(Es.dtype) * scale
-        sigma, wTs, E, coord, acc, zacc, cs, es = \
+        sigma, E, coord, acc, zacc, cs, es = \
             _pallas_rejfree_sat_chunk(
                 sigma, wTs, E, coord, acc, zacc, TL, P, SL, seed, betas,
                 target_arr, n_phys=n_phys, cmax=cmax, k_=k_,
@@ -413,11 +502,11 @@ def rejfree_sat_run(TL, P, SL, betas, sigma, wTs, E, coord, Es, seed0,
                 spw=spw, nw=nw)
         Es = _fill_checkpoints(Es, step, x_start, e_start, cs,
                                es.astype(Es.dtype) * scale)
-        return sigma, wTs, E, coord, acc, zacc, Es, k + 1
+        return sigma, E, coord, acc, zacc, Es, k + 1
 
     k0 = jnp.zeros((), jnp.int32)
-    sigma, wTs, E, coord, acc, zacc, Es, _ = jax.lax.while_loop(
-        cond, body, (sigma, wTs, E, coord, acc, zacc, Es, k0))
+    sigma, E, coord, acc, zacc, Es, _ = jax.lax.while_loop(
+        cond, body, (sigma, E, coord, acc, zacc, Es, k0))
     return sigma[:, :n_phys], E, coord, Es, acc, zacc
 
 
@@ -430,40 +519,28 @@ def rejfree_sat_run(TL, P, SL, betas, sigma, wTs, E, coord, Es, seed0,
 
 
 def _eo_sat_kernel(*refs, N, NP, K, Cmax, BT, t_bits, bits, spw, nw):
-    (seed_ref, n_ref, cdf_ref, tl_ref, p_ref, sl_ref, sigma_ref) = refs[:7]
+    (seed_ref, n_ref, cdf_ref, tl_ref, p_ref, sl_ref,
+     sigma_ref) = refs[:7]
     w_refs = refs[7:7 + nw]
     E_ref, emin_ref, smin_ref, itmin_ref = refs[7 + nw:11 + nw]
     outs = refs[11 + nw:]
-    sigma_out = outs[0]
-    w_outs = outs[1:1 + nw]
-    E_out, emin_out, smin_out, itmin_out = outs[1 + nw:]
+    sigma_out, E_out, emin_out, smin_out, itmin_out = outs
     seed_p = program_seed(seed_ref[0], pl.program_id(0))
     pltpu.prng_seed(seed_p)
     salt0 = seed_p * jnp.int32(1000003)
     n_moves = n_ref[0]
-    iota_nb, valid = _sat_kernel_common(NP, BT, N)
-    fmask = jnp.int32((1 << bits) - 1)
+    iota_nb = jax.lax.broadcasted_iota(jnp.int32, (NP, BT), 0)
+    valid = iota_nb < N
     imax = jnp.int32(_I32_MAX)
     inv32 = jnp.float32(2.0 ** -32)
     half_f = jnp.float32(0.5)
-
-    tl_cols = [tl_ref[:, c][:, None] for c in range(Cmax)]
-    p_cols = [[p_ref[:, t * Cmax + c][:, None] for c in range(Cmax)]
-              for t in range(K - 1)]
-    sl_cols = [[sl_ref[:, t * Cmax + c][:, None] for c in range(Cmax)]
-               for t in range(K - 1)]
-
-    def field(ws, c):
-        return (ws[c // spw] >> ((c % spw) * bits)) & fmask
+    lf_of, update_pass, _ = _sat_machinery(
+        tl_ref, p_ref, sl_ref, K=K, Cmax=Cmax, BT=BT, bits=bits, spw=spw,
+        nw=nw)
 
     def move(m, carry):
         sig, ws, E, emin, smin, itmin = carry
-        lf = jnp.zeros((NP, BT), jnp.int32)
-        for c in range(Cmax):
-            r = field(ws, c)
-            mo = sig == tl_cols[c]
-            lf = lf + jnp.where((r == 1) & mo, 1, 0) \
-                    - jnp.where(r == 0, 1, 0)
+        lf = lf_of(sig, ws)
         hvalid = jnp.where(valid, lf, imax)
         ub = random_bits((1, BT), salt0 + 2 * m)
         u = ub.astype(jnp.float32) * inv32 + half_f
@@ -493,15 +570,7 @@ def _eo_sat_kernel(*refs, N, NP, K, Cmax, BT, t_bits, bits, spw, nw):
                        keepdims=True, dtype=jnp.int32)
         nsw = jnp.sum(jnp.where(onehot, -sig, 0), axis=0, keepdims=True,
                       dtype=jnp.int32)
-        updw = [jnp.zeros((NP, BT), jnp.int32) for _ in range(nw)]
-        for c in range(Cmax):
-            upd = onehot * tl_cols[c]
-            for t in range(K - 1):
-                upd = upd + jnp.where(p_cols[t][c] == iwin,
-                                      sl_cols[t][c], 0)
-            updw[c // spw] = updw[c // spw] + (upd * nsw) * (1 << ((c % spw)
-                                                                   * bits))
-        ws = [(ws[w] + updw[w]).astype(jnp.int32) for w in range(nw)]
+        ws = update_pass(ws, iwin, onehot, nsw)
         sig = jnp.where(onehot, -sig, sig)            # unconditional flip
         E = E + dE_i
         better = E < emin
@@ -517,8 +586,6 @@ def _eo_sat_kernel(*refs, N, NP, K, Cmax, BT, t_bits, bits, spw, nw):
         (sig0, ws0, E_ref[:], emin_ref[:],
          smin_ref[:].astype(jnp.int32), itmin_ref[:]))
     sigma_out[:] = sig.astype(jnp.int8)
-    for w in range(nw):
-        w_outs[w][:] = ws[w]
     E_out[:] = E
     emin_out[:] = emin
     smin_out[:] = smin.astype(jnp.int8)
@@ -530,7 +597,8 @@ def _eo_sat_kernel(*refs, N, NP, K, Cmax, BT, t_bits, bits, spw, nw):
 def _pallas_eo_sat_run(sigma, wTs, E, emin, smin, itmin, cdf, TL, P, SL,
                        seed, n_moves, *, block_chains, t_bits, n_phys,
                        cmax, k_, bits, spw, nw):
-    """SAT EO: sigma/smin [B, NP] int8, wTs nw-tuple of [NP, B] i32."""
+    """SAT EO: sigma/smin [B, NP] int8, wTs nw-tuple of [NP, B] i32
+    (input-only; an EO run never resumes from the words)."""
     sigmaT, sminT = sigma.T, smin.T
     NP, B = sigmaT.shape
     BT = block_chains
@@ -539,30 +607,25 @@ def _pallas_eo_sat_run(sigma, wTs, E, emin, smin, itmin, cdf, TL, P, SL,
                      BT=BT, t_bits=t_bits, bits=bits, spw=spw, nw=nw)
     row = pl.BlockSpec((1, BT), lambda j: (0, j), memory_space=pltpu.VMEM)
     blk = pl.BlockSpec((NP, BT), lambda j: (0, j), memory_space=pltpu.VMEM)
-
-    def tbl(cols):
-        return pl.BlockSpec((NP, cols), lambda j: (0, 0),
-                            memory_space=pltpu.VMEM)
-
+    tbl = pl.BlockSpec((NP, 128), lambda j: (0, 0), memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
-                  + [tbl(1)]                                       # cdf
-                  + [tbl(cmax), tbl((k_ - 1) * cmax), tbl((k_ - 1) * cmax)]
+                  + [pl.BlockSpec((NP, 1), lambda j: (0, 0),
+                                  memory_space=pltpu.VMEM)]      # cdf
+                  + [tbl, tbl, tbl]
                   + [blk] + [blk] * nw + [row, row, blk, row]),
-        out_specs=[blk] + [blk] * nw + [row, row, blk, row],
-        out_shape=([jax.ShapeDtypeStruct((NP, B), jnp.int8)]
-                   + [jax.ShapeDtypeStruct((NP, B), jnp.int32)] * nw
-                   + [jax.ShapeDtypeStruct((1, B), jnp.int32),
-                      jax.ShapeDtypeStruct((1, B), jnp.int32),
-                      jax.ShapeDtypeStruct((NP, B), jnp.int8),
-                      jax.ShapeDtypeStruct((1, B), jnp.int32)]),
+        out_specs=[blk, row, row, blk, row],
+        out_shape=[jax.ShapeDtypeStruct((NP, B), jnp.int8),
+                   jax.ShapeDtypeStruct((1, B), jnp.int32),
+                   jax.ShapeDtypeStruct((1, B), jnp.int32),
+                   jax.ShapeDtypeStruct((NP, B), jnp.int8),
+                   jax.ShapeDtypeStruct((1, B), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=_INTERPRET,
     )(seed, n_moves, cdf, TL, P, SL, sigmaT, *wTs, E[None, :],
       emin[None, :], sminT, itmin[None, :])
-    sig_out = outs[0]
-    E_out, emin_out, smin_out, itmin_out = outs[1 + nw:]
+    sig_out, E_out, emin_out, smin_out, itmin_out = outs
     return (sig_out.T, E_out[0], emin_out[0], smin_out.T, itmin_out[0])

@@ -139,6 +139,11 @@ _REJFREE_CACHE: dict = {}
 #: target, so the overhead is <= ~4 extra dispatches per run.
 MAX_DISPATCH_S = 30.0
 _STAGE_GROWTH_CAP = 16.0
+#: staging exists for the REMOTE TPU relay (wedges past ~60 s/dispatch);
+#: on CPU (tests, interpret mode) each stage would still pay >= 1 whole
+#: kernel chunk, multiplying test cost ~4x for nothing — so CPU runs skip
+#: it unless a test forces it on
+FORCE_STAGING = False
 
 
 def _staged_run(rf, sigma, E, coord, Es, seed, target, step, scale, ct):
@@ -150,6 +155,11 @@ def _staged_run(rf, sigma, E, coord, Es, seed, target, step, scale, ct):
     import time
 
     import numpy as np
+
+    if jax.default_backend() == "cpu" and not FORCE_STAGING:
+        sigma, E, coord, Es, acc, zacc = rf.run(
+            sigma, E, coord, Es, seed, jnp.asarray(target, ct), step, scale)
+        return sigma, E, coord, Es, acc, zacc, 1
 
     total = float(target)
     done = 0.0
@@ -211,8 +221,8 @@ def _rejfree_mc(model, beta: float, mode: str, target, step, chains: int,
     else:
         # coupling-identity for the runner cache: lattices key on Jd,
         # pairwise/dense on J, PSpin3 on its partner table A
-        Jid = next(getattr(model, a) for a in ("Jd", "J", "A")
-                   if getattr(model, a, None) is not None)
+        Jid = next((getattr(model, a) for a in ("Jd", "J", "A")
+                    if getattr(model, a, None) is not None), model)
         cls = PallasRejectionFree
         consts = ()
     # h identity matters: field variants share the coupling object

@@ -128,6 +128,8 @@ def _eo_pallas(model, tau: float, iters: int, chains: int, seed: int,
         ent = (Jid, hid,
                PallasEO(model, float(tau), block_chains=block_chains))
         bound_cache_put(_EO_CACHE, key, ent)
+    from .common import set_route
+    set_route(f"pallas-eo-{ent[2].kind}")
     sigma, E, emin, smin, itmin = ent[2].run(
         state.sigma, state.E, iters, seed)
     return EOResult(sigma=sigma, E=_to_phys_batch(model, E.astype(ftype())),
@@ -152,6 +154,8 @@ def extremal_opt(model: Model, tau: float, iters: int, *, step: int = 1,
     streamed rate is HBM-bound at ~BW/(N^2 jbytes) per chain block; for
     SPARSE graphs the XLA O(deg) path is faster than densify+stream);
     "xla" forces the generic path."""
+    from .common import set_route
+
     if state is None:
         state = init_state(model, chains, seed, C0)
     if backend != "xla":
@@ -160,6 +164,7 @@ def extremal_opt(model: Model, tau: float, iters: int, *, step: int = 1,
                                    and pallas_eo_eligible(model, chains)):
             return _eo_pallas(model, float(tau), iters, chains, seed, state,
                               block_chains=block_chains)
+    set_route("xla")
     cdf = jnp.asarray(_rank_cdf(model.N, float(tau)))
     sigma, E, Emin, smin, itmin = _eo_run_xla(model, cdf, state, iters)
     return EOResult(sigma=sigma, E=_to_phys_batch(model, E),

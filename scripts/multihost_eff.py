@@ -45,13 +45,33 @@ def run_p(nprocs: int) -> dict:
         return json.load(f)
 
 
+REPEATS = 3      # whole-config repeats: mean +- spread retires the r4
+                 # single-shot rates whose noise produced efficiencies > 1
+
+
 def main():
     path = sys.argv[1] if len(sys.argv) > 1 else "MULTIHOST_eff.json"
+    import numpy as np
+
+    runs = {str(p): [] for p in (1, 2, 4)}
+    for rep in range(REPEATS):
+        for nprocs in (1, 2, 4):
+            r = run_p(nprocs)
+            runs[str(nprocs)].append(r)
+            print(json.dumps({"rep": rep, **r}), flush=True)
+
+    def agg(p_str, key):
+        v = np.asarray([r[key] for r in runs[p_str]], np.float64)
+        return float(v.mean()), float(v.std())
+
     rows = {}
-    for nprocs in (1, 2, 4):
-        r = run_p(nprocs)
-        rows[str(nprocs)] = r
-        print(json.dumps(r), flush=True)
+    for p_str, rs in runs.items():
+        cm, cs = agg(p_str, "chains_flips_per_s")
+        pm, ps = agg(p_str, "pt_flips_per_s")
+        rows[p_str] = {**rs[0], "repeats": REPEATS,
+                       "chains_flips_per_s": cm,
+                       "chains_flips_per_s_std": cs,
+                       "pt_flips_per_s": pm, "pt_flips_per_s_std": ps}
     base = rows["1"]
     res = {"method": "weak scaling, P in {1,2} spawned CPU processes x 2 "
                      "virtual devices, 1 pinned core each, constant work "
@@ -59,15 +79,29 @@ def main():
                      "devices and work as P=2 split across twice the "
                      "processes (a 2-core box cannot weak-scale 4 "
                      "processes); pt_p4_vs_p2 isolates the cross-process "
-                     "collective overhead at constant compute",
+                     "collective overhead at constant compute. Every "
+                     "config repeats 3x; rates are mean with std — "
+                     "single-shot noise on this shared box previously "
+                     "produced efficiencies > 1",
            "rows": rows,
            "efficiency": {}}
+
+    def eff(num, den):
+        m = num[0] / den
+        # relative spreads add in quadrature for a ratio of noisy means
+        rel = (num[1] / num[0]) if num[0] else 0.0
+        return m, rel
+
     for p_str in ("1", "2"):
         p, r = int(p_str), rows[p_str]
+        cm, crel = eff((r["chains_flips_per_s"],
+                        r["chains_flips_per_s_std"]),
+                       p * base["chains_flips_per_s"])
+        pm, prel = eff((r["pt_flips_per_s"], r["pt_flips_per_s_std"]),
+                       p * base["pt_flips_per_s"])
         res["efficiency"][p_str] = {
-            "chains": r["chains_flips_per_s"]
-            / (p * base["chains_flips_per_s"]),
-            "pt": r["pt_flips_per_s"] / (p * base["pt_flips_per_s"]),
+            "chains": cm, "chains_rel_spread": crel,
+            "pt": pm, "pt_rel_spread": prel,
         }
     res["efficiency"]["4_vs_2_same_devices"] = {
         "chains": rows["4"]["chains_flips_per_s"]

@@ -94,3 +94,17 @@ def test_composite_sweep_warm_continuation():
     E_re = np.asarray(_recompute(X, st2.sigma), np.float64)
     np.testing.assert_allclose(np.asarray(st2.E, np.float64), E_re,
                                atol=1e-9)
+
+
+def test_tle_sweep_reports_composite_route():
+    """VERDICT r4 item 6: TLE sweepMC over a sparse base must not report
+    the generic 'xla' route — the (slot x base-color) mask sweep carries
+    the 4-spin topological term (TLE.jl:17-56)."""
+    from rrrmc_tpu.samplers.common import LAST_ROUTE
+
+    X = rt.GraphTopologicalLocalEntropy(64, 4, 0.5, 0.3, 1.0, _base())
+    Es, st = rt.sweepMC(X, 1.0, 4, step=2, chains=4, seed=3)
+    assert LAST_ROUTE["backend"] == "composite-mask-sweep"
+    E_re = np.asarray(_recompute(X, st.sigma), np.float64)
+    np.testing.assert_allclose(E_re, np.asarray(st.E, np.float64),
+                               atol=1e-6 * max(1.0, np.abs(E_re).max()))

@@ -228,3 +228,60 @@ def test_star_sweep_invariant_law_and_state(quant_interp):
     a = np.asarray(Es)[:, 20:].mean() / R.N
     b = np.asarray(Em).mean() / R.N
     assert abs(a - b) < 0.03, (a, b)
+
+
+# ---------------------------------------------------------------------------
+# Sparse-base composites: Quant/RE over sparse Pairwise bases ride the
+# resident-base-lf inverse-column kernel (composite_sparse_spec) instead of
+# the dense matmul spec — Quant(RRG)/RE(RRG) get rejfree/rrr kernel routes.
+# ---------------------------------------------------------------------------
+
+
+def test_sparse_ring_bkl_invariant_and_law(quant_interp):
+    import rrrmc_tpu as rt
+    from rrrmc_tpu.samplers.common import LAST_ROUTE
+
+    base = rt.GraphRRG(60, 3, (-1, 1), seed=5)
+    Q = rt.GraphQuant(60, 4, 0.6, 1.0, base)
+    Es, st = rt.bklMC(Q, 1.0, iters=8000, step=200, chains=128, seed=3,
+                      backend="pallas")
+    assert LAST_ROUTE["backend"] == "pallas-rejfree-ring-sparse"
+    E_re = np.asarray(jax.jit(jax.vmap(Q.energy))(st.sigma), np.float64)
+    err = np.abs(E_re - np.asarray(st.E, np.float64)).max()
+    assert err < 1e-2 * max(1.0, np.abs(E_re).max() * 1e-4), err
+    Ex, _ = rt.bklMC(Q, 1.0, iters=8000, step=200, chains=128, seed=4,
+                     backend="xla")
+    a = np.asarray(Es)[:, 20:].mean()
+    b = np.asarray(Ex)[:, 20:].mean()
+    assert abs(a - b) / abs(b) < 0.02, (a, b)
+
+
+def test_sparse_star_rrr_invariant(quant_interp):
+    import rrrmc_tpu as rt
+    from rrrmc_tpu.samplers.common import LAST_ROUTE
+
+    R = rt.GraphRobustEnsemble(60, 4, 2.0, 0.5,
+                               rt.GraphRRG(60, 3, (-1, 1), seed=7))
+    _, st = rt.rrrMC(R, 0.5, iters=2000, step=100, chains=128, seed=6,
+                     backend="pallas")
+    assert LAST_ROUTE["backend"] == "pallas-rejfree-star-sparse"
+    E_re = np.asarray(jax.jit(jax.vmap(R.energy))(st.sigma), np.float64)
+    err = np.abs(E_re - np.asarray(st.E, np.float64)).max()
+    assert err < 1e-2, err
+
+
+@pytest.mark.slow
+def test_sparse_star_law_vs_xla(quant_interp):
+    """RE(RRG) kernel wtm equilibrium mean matches the XLA path (same
+    stationary law through an entirely different engine)."""
+    import rrrmc_tpu as rt
+
+    R = rt.GraphRobustEnsemble(60, 4, 2.0, 0.5,
+                               rt.GraphRRG(60, 3, (-1, 1), seed=7))
+    Es, _ = rt.wtmMC(R, 0.5, samples=120, step=20.0, chains=128, seed=6,
+                     backend="pallas")
+    Ex, _ = rt.wtmMC(R, 0.5, samples=120, step=20.0, chains=128, seed=8,
+                     backend="xla")
+    a = np.asarray(Es)[:, 30:].mean()
+    b = np.asarray(Ex)[:, 30:].mean()
+    assert abs(a - b) / abs(b) < 0.02, (a, b)

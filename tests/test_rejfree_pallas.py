@@ -94,9 +94,9 @@ def test_bkl_pallas_warm_start(rejfree_interp):
     import rrrmc_tpu as rt
 
     X = rt.GraphEA(4, 3, (-1, 1), seed=6)
-    _, st = rt.bklMC(X, 2.0, iters=2_000, step=200, chains=128, seed=3,
+    _, st = rt.bklMC(X, 2.0, iters=1_000, step=100, chains=128, seed=3,
                      backend="pallas")
-    Es2, st2 = rt.bklMC(X, 2.0, iters=2_000, step=200, chains=128, seed=8,
+    Es2, st2 = rt.bklMC(X, 2.0, iters=1_000, step=100, chains=128, seed=8,
                         backend="pallas", state=st)
     E_re = jax.jit(jax.vmap(X.energy))(st2.sigma)
     np.testing.assert_array_equal(np.asarray(E_re), np.asarray(st2.E))
@@ -247,14 +247,14 @@ def test_stream_bkl_densified_rrg(stream_small):
     from rrrmc_tpu.samplers.common import LAST_ROUTE
 
     X = rt.densify(rt.GraphRRG(150, 3, (-1, 1), seed=21))
-    Es, st = rt.bklMC(X, 2.0, iters=8_000, step=100, chains=128, seed=3,
+    Es, st = rt.bklMC(X, 2.0, iters=2_500, step=100, chains=128, seed=3,
                       backend="pallas")
     assert LAST_ROUTE["backend"] == "pallas-rejfree-stream"
     E_re = jax.jit(jax.vmap(X.energy))(st.sigma)
     np.testing.assert_array_equal(np.asarray(E_re), np.asarray(st.E))
     assert np.all(np.isfinite(np.asarray(Es)))
     acc = np.asarray(st.accepted)
-    assert acc.min() > 0 and acc.max() <= 8_000
+    assert acc.min() > 0 and acc.max() <= 2_500
 
 
 @pytest.mark.slow
@@ -424,7 +424,7 @@ def test_sparse_bkl_rrg_invariant(rejfree_interp):
     np.testing.assert_array_equal(np.asarray(E_re), np.asarray(st.E))
     assert np.all(np.isfinite(np.asarray(Es)))
     acc = np.asarray(st.accepted)
-    assert acc.min() > 0 and acc.max() <= 8_000
+    assert acc.min() > 0 and acc.max() <= 2_500
 
 
 @pytest.mark.parametrize("mode", ["bkl", "wtm", "rrr"])
@@ -651,11 +651,16 @@ def test_dispatch_guard_splits_large_runs(rejfree_interp):
     multiple probe-calibrated dispatches (samplers/bkl.py _staged_run), so no
     single dispatch can exceed the ~30 s relay budget by construction."""
     import rrrmc_tpu as rt
+    import rrrmc_tpu.samplers.bkl as bkl
     from rrrmc_tpu.samplers.common import LAST_ROUTE
 
     X = rt.GraphEA(4, 2, (-1, 1), seed=3)
-    Es, st = rt.bklMC(X, 2.0, iters=50_000, step=500, chains=128, seed=3,
-                      backend="pallas")
+    bkl.FORCE_STAGING = True      # staging is skipped on CPU by default
+    try:
+        Es, st = rt.bklMC(X, 2.0, iters=20_000, step=500, chains=128,
+                          seed=3, backend="pallas")
+    finally:
+        bkl.FORCE_STAGING = False
     assert LAST_ROUTE["dispatches"] >= 2
     E_re = jax.jit(jax.vmap(X.energy))(st.sigma)
     np.testing.assert_array_equal(np.asarray(E_re), np.asarray(st.E))

@@ -40,18 +40,18 @@ def test_sat_bkl_invariant_and_route(sat_interp):
     from rrrmc_tpu.samplers.common import LAST_ROUTE
 
     X = rt.GraphSAT(40, 3, 3.0, seed=5)
-    Es, st = rt.bklMC(X, 2.0, iters=20_000, step=200, chains=128, seed=3,
+    Es, st = rt.bklMC(X, 2.0, iters=8_000, step=100, chains=128, seed=3,
                       backend="pallas")
     assert LAST_ROUTE["backend"] == "pallas-rejfree-sat"
     E_re = jax.jit(jax.vmap(X.energy))(st.sigma)
     np.testing.assert_array_equal(np.asarray(E_re), np.asarray(st.E))
     assert np.all(np.isfinite(np.asarray(Es)))
     # equilibrium energy agrees with the XLA bkl path (same law)
-    Ex, _ = rt.bklMC(X, 2.0, iters=20_000, step=200, chains=128, seed=4,
+    Ex, _ = rt.bklMC(X, 2.0, iters=8_000, step=100, chains=128, seed=4,
                      backend="xla")
-    a = np.asarray(Es)[:, 50:].mean() / X.N
-    b = np.asarray(Ex)[:, 50:].mean() / X.N
-    assert abs(a - b) < 0.02, (a, b)
+    a = np.asarray(Es)[:, 30:].mean() / X.N
+    b = np.asarray(Ex)[:, 30:].mean() / X.N
+    assert abs(a - b) < 0.03, (a, b)
 
 
 def test_sat_wtm_invariant_k4(sat_interp):
@@ -95,9 +95,9 @@ def test_sat_warm_start(sat_interp):
     import rrrmc_tpu as rt
 
     X = rt.GraphSAT(32, 3, 3.5, seed=6)
-    _, st = rt.bklMC(X, 2.0, iters=2_000, step=200, chains=128, seed=3,
+    _, st = rt.bklMC(X, 2.0, iters=800, step=100, chains=128, seed=3,
                      backend="pallas")
-    _, st2 = rt.rrrMC(X, 2.0, iters=1_000, step=100, chains=128, seed=8,
+    _, st2 = rt.rrrMC(X, 2.0, iters=400, step=100, chains=128, seed=8,
                       backend="pallas", state=st)
     E_re = jax.jit(jax.vmap(X.energy))(st2.sigma)
     np.testing.assert_array_equal(np.asarray(E_re), np.asarray(st2.E))

@@ -108,19 +108,19 @@ def test_sweepmc_site_route_invariant_and_law(site_interp):
 
     sw._SITE_SWEEPERS.clear()
     m = rt.GraphRRG(96, 3, (-1, 1), seed=7)
-    Es, st = sw.sweepMC(m, 1.5, sweeps=120, step=10, chains=128, seed=3,
+    Es, st = sw.sweepMC(m, 1.5, sweeps=60, step=10, chains=128, seed=3,
                         backend="pallas")
     from rrrmc_tpu.samplers.common import LAST_ROUTE
     assert LAST_ROUTE["backend"] == "pallas-site-sweep"
     E_re = jax.jit(jax.vmap(m.energy))(st.sigma)
     np.testing.assert_array_equal(np.asarray(E_re), np.asarray(st.E))
     acc = np.asarray(st.accepted)
-    assert acc.min() > 0 and acc.max() <= 120 * m.N
-    Ex, _ = sw.sweepMC(m, 1.5, sweeps=120, step=10, chains=128, seed=4,
+    assert acc.min() > 0 and acc.max() <= 60 * m.N
+    Ex, _ = sw.sweepMC(m, 1.5, sweeps=60, step=10, chains=128, seed=4,
                        backend="xla")
-    a = np.asarray(Es)[:, 4:].mean() / m.N
-    b = np.asarray(Ex)[:, 4:].mean() / m.N
-    assert abs(a - b) < 0.03, (a, b)
+    a = np.asarray(Es)[:, 2:].mean() / m.N
+    b = np.asarray(Ex)[:, 2:].mean() / m.N
+    assert abs(a - b) < 0.04, (a, b)
     sw._SITE_SWEEPERS.clear()
 
 
@@ -131,14 +131,14 @@ def test_sweepmc_site_route_float(site_interp):
 
     sw._SITE_SWEEPERS.clear()
     m = rt.GraphRRGNormal(96, 3, seed=5)
-    Es, st = sw.sweepMC(m, 1.0, sweeps=80, step=10, chains=128, seed=3,
+    Es, st = sw.sweepMC(m, 1.0, sweeps=40, step=10, chains=128, seed=3,
                         backend="pallas")
     E_re = np.asarray(jax.jit(jax.vmap(m.energy))(st.sigma), np.float64)
     np.testing.assert_allclose(np.asarray(st.E, np.float64), E_re,
                                atol=5e-3)
-    Ex, _ = sw.sweepMC(m, 1.0, sweeps=80, step=10, chains=128, seed=4,
+    Ex, _ = sw.sweepMC(m, 1.0, sweeps=40, step=10, chains=128, seed=4,
                        backend="xla")
-    a = np.asarray(Es)[:, 3:].mean() / m.N
-    b = np.asarray(Ex)[:, 3:].mean() / m.N
-    assert abs(a - b) < 0.03, (a, b)
+    a = np.asarray(Es)[:, 2:].mean() / m.N
+    b = np.asarray(Ex)[:, 2:].mean() / m.N
+    assert abs(a - b) < 0.04, (a, b)
     sw._SITE_SWEEPERS.clear()
