@@ -449,7 +449,7 @@ def _pallas_eo_stream_run(sigma, E, emin, smin, itmin, cdf, hcol, Jhbm,
 def _eo_sparse_kernel(seed_ref, n_ref, cdf_ref, nbr_ref, jc_ref,
                       sigma_ref, lf_ref, E_ref, emin_ref, smin_ref,
                       itmin_ref,
-                      sigma_out, lf_out, E_out, emin_out, smin_out,
+                      sigma_out, E_out, emin_out, smin_out,
                       itmin_out, *, N, NP, K, BT, t_bits, flt):
     """Sparse EO chunk: n_ref[0] (dynamic) moves on a [NP, BT] block with a
     RESIDENT local-field table. nbr_ref/jc_ref [NP, K] inverse-neighbor
@@ -533,7 +533,6 @@ def _eo_sparse_kernel(seed_ref, n_ref, cdf_ref, nbr_ref, jc_ref,
         (sig0, lf_ref[:], E_ref[:], emin_ref[:],
          smin_ref[:].astype(jnp.int32), itmin_ref[:]))
     sigma_out[:] = sig.astype(jnp.int8)
-    lf_out[:] = lf
     E_out[:] = E
     emin_out[:] = emin
     smin_out[:] = smin.astype(jnp.int8)
@@ -557,7 +556,7 @@ def _pallas_eo_sparse_run(sigma, lfT, E, emin, smin, itmin, cdf, nbr, jc,
                      t_bits=t_bits, flt=flt)
     row = pl.BlockSpec((1, BT), lambda j: (0, j), memory_space=pltpu.VMEM)
     blk = pl.BlockSpec((NP, BT), lambda j: (0, j), memory_space=pltpu.VMEM)
-    (sig_out, lf_out, E_out, emin_out, smin_out,
+    (sig_out, E_out, emin_out, smin_out,
      itmin_out) = pl.pallas_call(
         kernel,
         grid=grid,
@@ -572,10 +571,9 @@ def _pallas_eo_sparse_run(sigma, lfT, E, emin, smin, itmin, cdf, nbr, jc,
                          memory_space=pltpu.VMEM),      # jc
             blk, blk, row, row, blk, row,
         ],
-        out_specs=[blk, blk, row, row, blk, row],
+        out_specs=[blk, row, row, blk, row],
         out_shape=[
             jax.ShapeDtypeStruct((NP, B), jnp.int8),
-            jax.ShapeDtypeStruct((NP, B), et),
             jax.ShapeDtypeStruct((1, B), et),
             jax.ShapeDtypeStruct((1, B), et),
             jax.ShapeDtypeStruct((NP, B), jnp.int8),
@@ -586,7 +584,7 @@ def _pallas_eo_sparse_run(sigma, lfT, E, emin, smin, itmin, cdf, nbr, jc,
         interpret=_INTERPRET,
     )(seed, n_moves, cdf, nbr, jc, sigmaT, lfT, E[None, :], emin[None, :],
       sminT, itmin[None, :])
-    return (sig_out.T, lf_out, E_out[0], emin_out[0], smin_out.T,
+    return (sig_out.T, E_out[0], emin_out[0], smin_out.T,
             itmin_out[0])
 
 
@@ -601,16 +599,15 @@ def _pallas_eo_sparse_run(sigma, lfT, E, emin, smin, itmin, cdf, nbr, jc,
 
 def _eo_pspin_kernel(*refs, N, NP, K, BT, t_bits):
     """Sparse-EO analog for PSpin3. refs: seed, n_moves (SMEM), cdf, p1, p2
-    [NP, K], sigma, c [NP, BT], K product tables q_k, E/emin rows, smin
-    blk, itmin row; then matching outputs (sigma, c, q_k..., E, emin, smin,
-    itmin)."""
+    [NP, K], sigma, c [NP, BT], K product tables q_k (INPUT-only: an EO
+    run never resumes from them), E/emin rows, smin blk, itmin row; then
+    the outputs (sigma, E, emin, smin, itmin)."""
     seed_ref, n_ref, cdf_ref, p1_ref, p2_ref, sigma_ref, c_ref = refs[:7]
     q_refs = refs[7:7 + K]
     E_ref, emin_ref, smin_ref, itmin_ref = refs[7 + K:11 + K]
     outs = refs[11 + K:]
-    sigma_out, c_out = outs[0:2]
-    q_outs = outs[2:2 + K]
-    E_out, emin_out, smin_out, itmin_out = outs[2 + K:]
+    sigma_out = outs[0]
+    E_out, emin_out, smin_out, itmin_out = outs[1:]
     seed_p = program_seed(seed_ref[0], pl.program_id(0))
     pltpu.prng_seed(seed_p)
     salt0 = seed_p * jnp.int32(1000003)
@@ -676,9 +673,6 @@ def _eo_pspin_kernel(*refs, N, NP, K, BT, t_bits):
         (sig0, c_ref[:], qs0, E_ref[:], emin_ref[:],
          smin_ref[:].astype(jnp.int32), itmin_ref[:]))
     sigma_out[:] = sig.astype(jnp.int8)
-    c_out[:] = c
-    for k in range(K):
-        q_outs[k][:] = qs[k]
     E_out[:] = E
     emin_out[:] = emin
     smin_out[:] = smin.astype(jnp.int8)
@@ -708,10 +702,8 @@ def _pallas_eo_pspin_run(sigma, cT, qTs, E, emin, smin, itmin, cdf, p1, p2,
                                   memory_space=pltpu.VMEM)]      # cdf
                   + [tbl, tbl, blk, blk] + [blk] * K
                   + [row, row, blk, row]),
-        out_specs=[blk, blk] + [blk] * K + [row, row, blk, row],
-        out_shape=([jax.ShapeDtypeStruct((NP, B), jnp.int8),
-                    jax.ShapeDtypeStruct((NP, B), jnp.int32)]
-                   + [jax.ShapeDtypeStruct((NP, B), jnp.int32)] * K
+        out_specs=[blk] + [row, row, blk, row],
+        out_shape=([jax.ShapeDtypeStruct((NP, B), jnp.int8)]
                    + [jax.ShapeDtypeStruct((1, B), jnp.int32),
                       jax.ShapeDtypeStruct((1, B), jnp.int32),
                       jax.ShapeDtypeStruct((NP, B), jnp.int8),
@@ -721,8 +713,8 @@ def _pallas_eo_pspin_run(sigma, cT, qTs, E, emin, smin, itmin, cdf, p1, p2,
         interpret=_INTERPRET,
     )(seed, n_moves, cdf, p1, p2, sigmaT, cT, *qTs, E[None, :],
       emin[None, :], sminT, itmin[None, :])
-    sig_out, c_out = outs[0], outs[1]
-    E_out, emin_out, smin_out, itmin_out = outs[2 + K:]
+    sig_out = outs[0]
+    E_out, emin_out, smin_out, itmin_out = outs[1:]
     return (sig_out.T, E_out[0], emin_out[0], smin_out.T, itmin_out[0])
 
 
@@ -965,7 +957,7 @@ class PallasEO:
                                   t.bits, t.spw, t.nw)
             sig, E, emin, smin, itmin = _pallas_eo_sat_run(
                 sigp, wTs, E.astype(et), E.astype(et), smin, zeros,
-                self.cdf, t.TL, t.P, t.SL,
+                self.cdf, t.TL, t.P,
                 jnp.asarray([seed % (2 ** 31)], jnp.int32),
                 jnp.asarray([iters], jnp.int32),
                 block_chains=self.block_chains, t_bits=self.t_bits,
@@ -988,7 +980,7 @@ class PallasEO:
             from .rejfree_pallas import _sparse_prep
 
             sigp, lfT = _sparse_prep(self.model, sigma[:, :n], self.NP)
-            sig, _lf, E, emin, smin, itmin = _pallas_eo_sparse_run(
+            sig, E, emin, smin, itmin = _pallas_eo_sparse_run(
                 sigp, lfT, E.astype(et), E.astype(et), smin, zeros,
                 self.cdf, self.A, self.B,
                 jnp.asarray([seed % (2 ** 31)], jnp.int32),

@@ -1126,17 +1126,18 @@ def _rejfree_pspin_kernel(*refs, N, NP, K, BT, n_moves, mode):
     refs (positional, K-dependent): seed, beta2s, target (SMEM), p1/p2
     [NP, K] int32 partner tables (pad rows point at N — a winner row is
     always < N so padding never matches), sigma, c [NP, BT], K product
-    tables q_k [NP, BT], E/coord/acc/zacc rows; then the matching outputs
-    + the (coord, E) checkpoint streams. c and the q_k carry across
-    chunks. Rows >= N are frozen padding excluded from the race and z."""
+    tables q_k [NP, BT] (INPUT-ONLY: the run loop re-derives c/q from the
+    updated spins each chunk, so their output windows — which Mosaic
+    double-buffers at grid > 1 — cost no VMEM), E/coord/acc/zacc rows;
+    then the outputs + the (coord, E) checkpoint streams. Rows >= N are
+    frozen padding excluded from the race and z."""
     (seed_ref, beta2s_ref, target_ref, p1_ref, p2_ref, sigma_ref,
      c_ref) = refs[:7]
     q_refs = refs[7:7 + K]
     E_ref, coord_ref, acc_ref, zacc_ref = refs[7 + K:11 + K]
     outs = refs[11 + K:]
-    sigma_out, c_out = outs[0:2]
-    q_outs = outs[2:2 + K]
-    (E_out, coord_out, acc_out, zacc_out, cs_out, es_out) = outs[2 + K:]
+    sigma_out = outs[0]
+    (E_out, coord_out, acc_out, zacc_out, cs_out, es_out) = outs[1:]
     wtm = mode == "wtm"
     seed_p = program_seed(seed_ref[0], pl.program_id(0))
     pltpu.prng_seed(seed_p)
@@ -1224,9 +1225,6 @@ def _rejfree_pspin_kernel(*refs, N, NP, K, BT, n_moves, mode):
         (sig0, c_ref[:], qs0, E_ref[:], coord_ref[:], acc_ref[:],
          zacc_ref[:]))
     sigma_out[:] = sig.astype(jnp.int8)
-    c_out[:] = c
-    for k in range(K):
-        q_outs[k][:] = qs[k]
     E_out[:] = E
     coord_out[:] = coord
     acc_out[:] = acc
@@ -1260,11 +1258,8 @@ def _pallas_rejfree_pspin_chunk(sigma, cT, qTs, E, coord, acc, zacc, p1, p2,
         in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)] * 3   # scalars
                   + [tbl, tbl, blk, blk] + [blk] * K
                   + [row, row, row, row]),
-        out_specs=[blk, blk] + [blk] * K + [row, row, row, row,
-                                            stream, stream],
-        out_shape=([jax.ShapeDtypeStruct((NP, B), jnp.int8),
-                    jax.ShapeDtypeStruct((NP, B), jnp.int32)]
-                   + [jax.ShapeDtypeStruct((NP, B), jnp.int32)] * K
+        out_specs=[blk] + [row, row, row, row, stream, stream],
+        out_shape=([jax.ShapeDtypeStruct((NP, B), jnp.int8)]
                    + [jax.ShapeDtypeStruct((1, B), jnp.int32),
                       jax.ShapeDtypeStruct((1, B), ct),
                       jax.ShapeDtypeStruct((1, B), jnp.int32),
@@ -1277,10 +1272,9 @@ def _pallas_rejfree_pspin_chunk(sigma, cT, qTs, E, coord, acc, zacc, p1, p2,
     )(seed, beta2s, target, p1, p2, sigmaT, cT, *qTs,
       E[None, :].astype(jnp.int32), coord[None, :].astype(ct),
       acc[None, :], zacc[None, :])
-    sig_out, c_out = outs[0], outs[1]
-    q_outs = tuple(outs[2:2 + K])
-    E_out, coord_out, acc_out, zacc_out, cs, es = outs[2 + K:]
-    return (sig_out.T, c_out, q_outs, E_out[0], coord_out[0], acc_out[0],
+    sig_out = outs[0]
+    E_out, coord_out, acc_out, zacc_out, cs, es = outs[1:]
+    return (sig_out.T, E_out[0], coord_out[0], acc_out[0],
             zacc_out[0], cs, es)
 
 
@@ -1303,40 +1297,60 @@ def _pspin_prep(model, sigma, np_):
     return sigma, c.T.astype(jnp.int32), qTs
 
 
+def _pspin_tables_of(sigma_pad, A, n_phys, np_):
+    """(cT [NP, B], K-tuple of qT [NP, B]) re-derived from the padded
+    spins (traceable: runs once per chunk inside the run loop)."""
+    s = sigma_pad[:, :n_phys].astype(jnp.int32)       # [B, N]
+    pairs = s[:, A]                                   # [B, N, K, 2]
+    q = pairs[..., 0] * pairs[..., 1]                 # [B, N, K]
+    c = q.sum(axis=2)
+    B, N, K = q.shape
+    pad = np_ - N
+    if pad:
+        c = jnp.concatenate([c, jnp.zeros((B, pad), jnp.int32)], axis=1)
+        q = jnp.concatenate([q, jnp.zeros((B, pad, K), jnp.int32)], axis=1)
+    return c.T.astype(jnp.int32), tuple(q[:, :, k].T for k in range(K))
+
+
 @partial(jax.jit, static_argnames=("n_phys", "bt", "chunk_moves", "mode"))
-def rejfree_pspin_run(p1, p2, cT, qTs, beta2s, sigma, E, coord, Es, seed0,
+def rejfree_pspin_run(p1, p2, A, beta2s, sigma, E, coord, Es, seed0,
                       target, step, scale, *, n_phys, bt, chunk_moves,
                       mode):
     """PSpin3 analog of `rejfree_sparse_run`: whole hookless run in ONE
-    jit; sigma is the PADDED [B, NP] state (prep pads)."""
+    jit; sigma is the PADDED [B, NP] state (prep pads). The cavity and
+    product tables are re-derived from the spins at every chunk boundary
+    (one XLA gather pass), so the kernel carries them only WITHIN a chunk
+    and their double-buffered output windows cost no VMEM at grid > 1."""
     from ..samplers.bkl import _fill_checkpoints
 
     B = sigma.shape[0]
+    np_ = sigma.shape[1]
     target_arr = target.reshape(1)
     acc = jnp.zeros((B,), jnp.int32)
     zacc = jnp.zeros((B,), jnp.float32)
 
     def cond(carry):
-        coord = carry[4]
+        coord = carry[2]
         return jnp.min(coord) < target
 
     def body(carry):
-        sigma, cT, qTs, E, coord, acc, zacc, Es, k = carry
+        sigma, E, coord, acc, zacc, Es, k = carry
+        cT, qTs = _pspin_tables_of(sigma, A, n_phys, np_)
         seed = (seed0 + k * jnp.int32(7919)).reshape(1)
         x_start = coord
         e_start = E.astype(Es.dtype) * scale
-        sigma, cT, qTs, E, coord, acc, zacc, cs, es = \
+        sigma, E, coord, acc, zacc, cs, es = \
             _pallas_rejfree_pspin_chunk(
                 sigma, cT, qTs, E, coord, acc, zacc, p1, p2, seed, beta2s,
                 target_arr, n_phys=n_phys, block_chains=bt,
                 n_moves=chunk_moves, mode=mode)
         Es = _fill_checkpoints(Es, step, x_start, e_start, cs,
                                es.astype(Es.dtype) * scale)
-        return sigma, cT, qTs, E, coord, acc, zacc, Es, k + 1
+        return sigma, E, coord, acc, zacc, Es, k + 1
 
     k0 = jnp.zeros((), jnp.int32)
-    sigma, cT, qTs, E, coord, acc, zacc, Es, _ = jax.lax.while_loop(
-        cond, body, (sigma, cT, qTs, E, coord, acc, zacc, Es, k0))
+    sigma, E, coord, acc, zacc, Es, _ = jax.lax.while_loop(
+        cond, body, (sigma, E, coord, acc, zacc, Es, k0))
     return sigma[:, :n_phys], E, coord, Es, acc, zacc
 
 
@@ -1493,6 +1507,9 @@ def pallas_rejfree_eligible(model, chains: int) -> bool:
     from .sat_pallas import sat_rejfree_ok
     if sat_rejfree_ok(model):
         return True
+    from .perc_pallas import perc_rejfree_ok
+    if perc_rejfree_ok(model):
+        return True
     from .quant_pallas import quant_ring_eligible
     return quant_ring_eligible(model, chains)
 
@@ -1529,6 +1546,19 @@ class PallasRejectionFree:
             self.tab = _SatTables(model)
             self.NP = self.tab.NP
             self.kind = "sat"
+            return
+        from .perc_pallas import _PercTables, perc_rejfree_ok
+        if perc_rejfree_ok(model):
+            # perceptrons: resident [P, BT] stability table + the
+            # stabilities-delta matmul identity (ops/perc_pallas.py); the
+            # identity yields 2*dE, so the kernel takes beta*scale/2
+            self.tab = _PercTables(model)
+            self.betah = jnp.asarray([0.5 * beta * model.scale],
+                                     jnp.float32)
+            self.cparam = jnp.asarray([self.tab.c], jnp.float32)
+            self.NP = self.tab.NP
+            self.flt = self.tab.flt
+            self.kind = "perc"
             return
         if _pspin_rejfree_ok(model):
             NP = -(-model.N // 8) * 8
@@ -1648,7 +1678,7 @@ class PallasRejectionFree:
             t = self.tab
             m = self.model
             return rejfree_sat_run(
-                t.TL, t.P, t.SL, m.A, m.L, m.T, self.betas,
+                t.TL, t.P, m.A, m.L, m.T, self.betas,
                 _pad_sigma(sigma, t.NP), E, coord, Es, seed, target, step,
                 scale, n_phys=m.N, cmax=t.Cmax, k_=t.K,
                 bt=self.block_chains, chunk_moves=self.chunk_moves,
@@ -1661,10 +1691,23 @@ class PallasRejectionFree:
                 sigma, E, coord, Es, seed, target, step, scale,
                 n_phys=self.model.N, bt=self.block_chains,
                 chunk_moves=self.chunk_moves, mode=self.mode)
+        if self.kind == "perc":
+            from .perc_pallas import rejfree_perc_run
+            from .sat_pallas import _pad_sigma
+
+            t = self.tab
+            return rejfree_perc_run(
+                t.xiT, t.xi, t.xi_i8, self.betah, self.cparam,
+                _pad_sigma(sigma, t.NP), E, coord, Es, seed, target, step,
+                scale, n_phys=self.model.N, p_phys=self.model.P,
+                bt=self.block_chains, chunk_moves=self.chunk_moves,
+                mode=self.mode, fam=t.fam)
         if self.kind == "pspin":
-            sigp, cT, qTs = _pspin_prep(self.model, sigma, self.NP)
+            from .sat_pallas import _pad_sigma
+
             return rejfree_pspin_run(
-                self.p1, self.p2, cT, qTs, self.beta2s, sigp, E, coord,
+                self.p1, self.p2, self.model.A, self.beta2s,
+                _pad_sigma(sigma, self.NP), E, coord,
                 Es, seed, target, step, scale, n_phys=self.model.N,
                 bt=self.block_chains, chunk_moves=self.chunk_moves,
                 mode=self.mode)
@@ -1704,7 +1747,7 @@ class PallasRejectionFree:
                                   t.spw, t.nw)
             sig, E, coord, acc, zacc, cs, es = \
                 _pallas_rejfree_sat_chunk(
-                    sigp, wTs, E, coord, acc, zacc, t.TL, t.P, t.SL,
+                    sigp, wTs, E, coord, acc, zacc, t.TL, t.P,
                     jnp.asarray([seed], jnp.int32), self.betas, tgt,
                     n_phys=self.model.N, cmax=t.Cmax, k_=t.K,
                     block_chains=self.block_chains,
@@ -1720,9 +1763,25 @@ class PallasRejectionFree:
                     n_phys=self.model.N, block_chains=self.block_chains,
                     n_moves=self.chunk_moves, mode=self.mode)
             return sig[:, :self.model.N], E, coord, acc, zacc, cs, es
+        if self.kind == "perc":
+            from .perc_pallas import (_pallas_rejfree_perc_chunk,
+                                      _perc_delta_of)
+            from .sat_pallas import _pad_sigma
+
+            t = self.tab
+            sigp = _pad_sigma(sigma, t.NP)
+            deltaT = _perc_delta_of(sigp, t.xi_i8, self.model.N, t.PP)
+            sig, E, coord, acc, zacc, cs, es = \
+                _pallas_rejfree_perc_chunk(
+                    sigp, deltaT, E, coord, acc, zacc, t.xiT, t.xi,
+                    jnp.asarray([seed], jnp.int32), self.betah,
+                    self.cparam, tgt, n_phys=self.model.N,
+                    p_phys=self.model.P, block_chains=self.block_chains,
+                    n_moves=self.chunk_moves, mode=self.mode, fam=t.fam)
+            return sig[:, :self.model.N], E, coord, acc, zacc, cs, es
         if self.kind == "pspin":
             sigp, cT, qTs = _pspin_prep(self.model, sigma, self.NP)
-            sig, cT, qTs, E, coord, acc, zacc, cs, es = \
+            sig, E, coord, acc, zacc, cs, es = \
                 _pallas_rejfree_pspin_chunk(
                     sigp, cT, qTs, E, coord, acc, zacc, self.p1, self.p2,
                     jnp.asarray([seed], jnp.int32), self.beta2s, tgt,

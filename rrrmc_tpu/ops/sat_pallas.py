@@ -121,9 +121,11 @@ class _SatTables:
 
     TL [NP, 128] i32: literal sign of j in its c-th clause (0 padding).
     P  [NP, 128] i32: the K-1 partner variables of j's c-th clause, packed
-       as lane sections t*SEC + c with SEC = 128 // (K-1) — one table
-       instead of K-1 halves the rolled-table VMEM (sentinel N on padding).
-    SL [NP, 128] i32: the partner literal signs in the same layout (0 pad).
+       as lane sections t*SEC + c with SEC = 128 // (K-1); each entry
+       carries the partner id in its low 16 bits (sentinel 0xFFFF >= N on
+       padding) and the partner's literal sign + 1 in bits 16-17 — one
+       packed table instead of 2(K-1), which is what fits the rrr trial
+       pass in VMEM at N=1e4.
     """
 
     def __init__(self, model):
@@ -137,8 +139,7 @@ class _SatTables:
         TLm = np.asarray(model.TL)
         TL = np.zeros((NP, 128), np.int32)
         TL[:N, :Cmax] = TLm
-        P = np.full((NP, 128), N, np.int32)
-        SL = np.zeros((NP, 128), np.int32)
+        P = np.full((NP, 128), 0xFFFF | (1 << 16), np.int32)
         Mc = model.Mc
         for j in range(N):
             for c in range(Cmax):
@@ -150,12 +151,10 @@ class _SatTables:
                     v = int(A[a, k])
                     if v == j or v >= N:
                         continue
-                    P[j, t * SEC + c] = v
-                    SL[j, t * SEC + c] = int(L[a, k])
+                    P[j, t * SEC + c] = v | ((int(L[a, k]) + 1) << 16)
                     t += 1
         self.TL = jnp.asarray(TL)
         self.P = jnp.asarray(P)
-        self.SL = jnp.asarray(SL)
         self.NP = NP
         self.Cmax = Cmax
         self.K = K
@@ -206,11 +205,13 @@ def _pad_sigma(sigma, np_):
     return sigma
 
 
-def _sat_machinery(tl_ref, p_ref, sl_ref, *, K, Cmax, BT, bits, spw, nw):
+def _sat_machinery(tl_ref, p_ref, *, K, Cmax, BT, bits, spw, nw):
     """Shared dynamic slot-loop helpers (see COMPILE-TIME SHAPE above).
-    p_ref/sl_ref pack the K-1 partner sections at lane stride SEC."""
+    p_ref packs the K-1 partner sections at lane stride SEC, each entry
+    id | (sign+1) << 16."""
     SEC = 128 // (K - 1)
     fmask = jnp.int32((1 << bits) - 1)
+    idmask = jnp.int32(0xFFFF)
 
     def roll1(x):
         return pltpu.roll(x, 127, axis=1)     # left by one lane
@@ -242,16 +243,17 @@ def _sat_machinery(tl_ref, p_ref, sl_ref, *, K, Cmax, BT, bits, spw, nw):
             (jnp.zeros(sig.shape, jnp.int32), tl_ref[:]))
         return lf
 
-    def slot_upd(tl_t, p_t, sl_t, irow, onehot, nsw_eff):
+    def slot_upd(tl_t, p_t, irow, onehot, nsw_eff):
         """Count delta of the CURRENT slot (lane 0 of each section) under
         a flip of the winner, scaled by the pre-masked new winner spin
         (0 rows apply nothing): +-1 where the winner is the slot's
         variable itself or one of its K-1 clause partners (sentinels
-        never match)."""
+        never match a winner row < N)."""
         upd = onehot * tl_t[:, 0:1]
         for t in range(K - 1):
-            upd = upd + jnp.where(p_t[:, t * SEC:t * SEC + 1] == irow,
-                                  sl_t[:, t * SEC:t * SEC + 1], 0)
+            pw = p_t[:, t * SEC:t * SEC + 1]
+            upd = upd + jnp.where((pw & idmask) == irow,
+                                  ((pw >> 16) & 3) - 1, 0)
         return upd * nsw_eff
 
     def apply_ws(ws, c, upd):
@@ -265,13 +267,13 @@ def _sat_machinery(tl_ref, p_ref, sl_ref, *, K, Cmax, BT, bits, spw, nw):
     def update_pass(ws, irow, onehot, nsw_eff):
         """Commit all slot deltas for a flip of the winner."""
         def step(c, carry):
-            ws, tl_t, p_t, sl_t = carry
-            upd = slot_upd(tl_t, p_t, sl_t, irow, onehot, nsw_eff)
+            ws, tl_t, p_t = carry
+            upd = slot_upd(tl_t, p_t, irow, onehot, nsw_eff)
             ws = apply_ws(ws, c, upd)
-            return (ws, roll1(tl_t), roll1(p_t), roll1(sl_t))
+            return (ws, roll1(tl_t), roll1(p_t))
 
-        ws, _, _, _ = jax.lax.fori_loop(
-            0, Cmax, step, (list(ws), tl_ref[:], p_ref[:], sl_ref[:]))
+        ws, _, _ = jax.lax.fori_loop(
+            0, Cmax, step, (list(ws), tl_ref[:], p_ref[:]))
         return ws
 
     def trial_dlf(sig, ws, irow, onehot, nsw):
@@ -280,8 +282,8 @@ def _sat_machinery(tl_ref, p_ref, sl_ref, *, K, Cmax, BT, bits, spw, nw):
         spins are re-derived per slot from (sig, onehot) instead of being
         held live across the pass."""
         def step(c, carry):
-            dlf, tl_t, p_t, sl_t = carry
-            upd = slot_upd(tl_t, p_t, sl_t, irow, onehot, nsw)
+            dlf, tl_t, p_t = carry
+            upd = slot_upd(tl_t, p_t, irow, onehot, nsw)
             r = field(ws, c)
             tl_c = tl_t[:, 0:1]
             mo = sig == tl_c
@@ -291,12 +293,11 @@ def _sat_machinery(tl_ref, p_ref, sl_ref, *, K, Cmax, BT, bits, spw, nw):
                       - jnp.where(r2 == 0, 1, 0) \
                       - jnp.where((r == 1) & mo, 1, 0) \
                       + jnp.where(r == 0, 1, 0)
-            return (dlf, roll1(tl_t), roll1(p_t), roll1(sl_t))
+            return (dlf, roll1(tl_t), roll1(p_t))
 
-        dlf, _, _, _ = jax.lax.fori_loop(
+        dlf, _, _ = jax.lax.fori_loop(
             0, Cmax, step,
-            (jnp.zeros(sig.shape, jnp.int32), tl_ref[:], p_ref[:],
-             sl_ref[:]))
+            (jnp.zeros(sig.shape, jnp.int32), tl_ref[:], p_ref[:]))
         return dlf
 
     return lf_of, update_pass, trial_dlf
@@ -311,11 +312,11 @@ def _rejfree_sat_kernel(*refs, N, NP, K, Cmax, BT, n_moves, mode, bits, spw,
     (INPUT-ONLY — the run loop re-derives them from the updated spins each
     chunk, saving their output windows' VMEM); E/coord/acc/zacc rows; then
     the outputs + the (coord, E) checkpoint streams."""
-    (seed_ref, betas_ref, target_ref, tl_ref, p_ref, sl_ref,
-     sigma_ref) = refs[:7]
-    w_refs = refs[7:7 + nw]
-    E_ref, coord_ref, acc_ref, zacc_ref = refs[7 + nw:11 + nw]
-    outs = refs[11 + nw:]
+    (seed_ref, betas_ref, target_ref, tl_ref, p_ref,
+     sigma_ref) = refs[:6]
+    w_refs = refs[6:6 + nw]
+    E_ref, coord_ref, acc_ref, zacc_ref = refs[6 + nw:10 + nw]
+    outs = refs[10 + nw:]
     sigma_out = outs[0]
     (E_out, coord_out, acc_out, zacc_out, cs_out, es_out) = outs[1:]
     wtm = mode == "wtm"
@@ -324,20 +325,26 @@ def _rejfree_sat_kernel(*refs, N, NP, K, Cmax, BT, n_moves, mode, bits, spw,
     salt0 = seed_p * jnp.int32(1000003)
     betas = betas_ref[0]
     target = target_ref[0]
-    iota_nb = jax.lax.broadcasted_iota(jnp.int32, (NP, BT), 0)
-    valid = iota_nb < N
+
+    def iota_nb_():
+        # transient per use: a hoisted [NP, BT] iota lives across the
+        # whole move loop as register spill (every MB counts in rrr)
+        return jax.lax.broadcasted_iota(jnp.int32, (NP, BT), 0)
+
     inv32 = jnp.float32(2.0 ** -32)
     half_f = jnp.float32(0.5)
     inf = jnp.float32(3.0e38)
     log_n = jnp.log(jnp.float32(N))
     lf_of, update_pass, trial_dlf = _sat_machinery(
-        tl_ref, p_ref, sl_ref, K=K, Cmax=Cmax, BT=BT, bits=bits, spw=spw,
-        nw=nw)
+        tl_ref, p_ref, K=K, Cmax=Cmax, BT=BT, bits=bits, spw=spw, nw=nw)
 
     def to_uniform(rb):
         return rb.astype(jnp.float32) * inv32 + half_f
 
     def logz_of(lf):
+        # the padding mask is re-derived per use (a hoisted [NP, BT] bool
+        # would live across the whole move loop as spill)
+        valid = iota_nb_() < N
         bE = betas * jnp.maximum(lf, 0).astype(jnp.float32)
         m = jnp.min(jnp.where(valid, bE, inf), axis=0, keepdims=True)
         zs = jnp.sum(jnp.where(valid, jnp.exp(m - bE), 0.0),
@@ -350,11 +357,11 @@ def _rejfree_sat_kernel(*refs, N, NP, K, Cmax, BT, n_moves, mode, bits, spw,
         lf = lf_of(sig, ws)
         bE, logz = logz_of(lf)
         u = to_uniform(random_bits((NP, BT), salt0 + 3 * m))
-        score = jnp.where(valid, jnp.log(-jnp.log(u)) + bE, inf)
+        score = jnp.where(iota_nb_() < N, jnp.log(-jnp.log(u)) + bE, inf)
         mrow = jnp.min(score, axis=0, keepdims=True)  # [1, BT]
-        irow = jnp.min(jnp.where(score == mrow, iota_nb, NP),
+        irow = jnp.min(jnp.where(score == mrow, iota_nb_(), NP),
                        axis=0, keepdims=True)
-        onehot = iota_nb == irow                      # exact single winner
+        onehot = iota_nb_() == irow                   # exact single winner
         dE_i = jnp.sum(jnp.where(onehot, lf, 0), axis=0,
                        keepdims=True, dtype=jnp.int32)
         nsw = jnp.sum(jnp.where(onehot, -sig, 0), axis=0,
@@ -404,7 +411,7 @@ def _rejfree_sat_kernel(*refs, N, NP, K, Cmax, BT, n_moves, mode, bits, spw,
 
 @partial(jax.jit, static_argnames=("n_phys", "cmax", "k_", "block_chains",
                                    "n_moves", "mode", "bits", "spw", "nw"))
-def _pallas_rejfree_sat_chunk(sigma, wTs, E, coord, acc, zacc, TL, P, SL,
+def _pallas_rejfree_sat_chunk(sigma, wTs, E, coord, acc, zacc, TL, P,
                               seed, betas, target, *, n_phys, cmax, k_,
                               block_chains, n_moves, mode, bits, spw, nw):
     """sigma [B, NP] int8 (rows >= n_phys are +1 padding), wTs: nw-tuple of
@@ -427,7 +434,7 @@ def _pallas_rejfree_sat_chunk(sigma, wTs, E, coord, acc, zacc, TL, P, SL,
         kernel,
         grid=grid,
         in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
-                  + [tbl, tbl, tbl]
+                  + [tbl, tbl]
                   + [blk] + [blk] * nw + [row, row, row, row]),
         out_specs=[blk, row, row, row, row, stream, stream],
         out_shape=[jax.ShapeDtypeStruct((NP, B), jnp.int8),
@@ -440,7 +447,7 @@ def _pallas_rejfree_sat_chunk(sigma, wTs, E, coord, acc, zacc, TL, P, SL,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=_INTERPRET,
-    )(seed, betas, target, TL, P, SL, sigmaT, *wTs,
+    )(seed, betas, target, TL, P, sigmaT, *wTs,
       E[None, :].astype(jnp.int32), coord[None, :].astype(ct),
       acc[None, :], zacc[None, :])
     sig_out, E_out, coord_out, acc_out, zacc_out, cs, es = outs
@@ -467,7 +474,7 @@ def _sat_words_of(sigma_pad, A, L, T, *, n_phys, np_, cmax, bits, spw, nw):
 @partial(jax.jit, static_argnames=("n_phys", "cmax", "k_", "bt",
                                    "chunk_moves", "mode", "bits", "spw",
                                    "nw"))
-def rejfree_sat_run(TL, P, SL, A, L, T, betas, sigma, E, coord, Es, seed0,
+def rejfree_sat_run(TL, P, A, L, T, betas, sigma, E, coord, Es, seed0,
                     target, step, scale, *, n_phys, cmax, k_, bt,
                     chunk_moves, mode, bits, spw, nw):
     """SAT analog of `rejfree_sparse_run`: whole hookless run in ONE jit;
@@ -496,7 +503,7 @@ def rejfree_sat_run(TL, P, SL, A, L, T, betas, sigma, E, coord, Es, seed0,
         e_start = E.astype(Es.dtype) * scale
         sigma, E, coord, acc, zacc, cs, es = \
             _pallas_rejfree_sat_chunk(
-                sigma, wTs, E, coord, acc, zacc, TL, P, SL, seed, betas,
+                sigma, wTs, E, coord, acc, zacc, TL, P, seed, betas,
                 target_arr, n_phys=n_phys, cmax=cmax, k_=k_,
                 block_chains=bt, n_moves=chunk_moves, mode=mode, bits=bits,
                 spw=spw, nw=nw)
@@ -519,35 +526,37 @@ def rejfree_sat_run(TL, P, SL, A, L, T, betas, sigma, E, coord, Es, seed0,
 
 
 def _eo_sat_kernel(*refs, N, NP, K, Cmax, BT, t_bits, bits, spw, nw):
-    (seed_ref, n_ref, cdf_ref, tl_ref, p_ref, sl_ref,
-     sigma_ref) = refs[:7]
-    w_refs = refs[7:7 + nw]
-    E_ref, emin_ref, smin_ref, itmin_ref = refs[7 + nw:11 + nw]
-    outs = refs[11 + nw:]
+    (seed_ref, n_ref, cdf_ref, tl_ref, p_ref,
+     sigma_ref) = refs[:6]
+    w_refs = refs[6:6 + nw]
+    E_ref, emin_ref, smin_ref, itmin_ref = refs[6 + nw:10 + nw]
+    outs = refs[10 + nw:]
     sigma_out, E_out, emin_out, smin_out, itmin_out = outs
     seed_p = program_seed(seed_ref[0], pl.program_id(0))
     pltpu.prng_seed(seed_p)
     salt0 = seed_p * jnp.int32(1000003)
     n_moves = n_ref[0]
-    iota_nb = jax.lax.broadcasted_iota(jnp.int32, (NP, BT), 0)
-    valid = iota_nb < N
+
+    def iota_nb_():
+        return jax.lax.broadcasted_iota(jnp.int32, (NP, BT), 0)
+
     imax = jnp.int32(_I32_MAX)
     inv32 = jnp.float32(2.0 ** -32)
     half_f = jnp.float32(0.5)
     lf_of, update_pass, _ = _sat_machinery(
-        tl_ref, p_ref, sl_ref, K=K, Cmax=Cmax, BT=BT, bits=bits, spw=spw,
-        nw=nw)
+        tl_ref, p_ref, K=K, Cmax=Cmax, BT=BT, bits=bits, spw=spw, nw=nw)
 
     def move(m, carry):
         sig, ws, E, emin, smin, itmin = carry
         lf = lf_of(sig, ws)
-        hvalid = jnp.where(valid, lf, imax)
+        hvalid = jnp.where(iota_nb_() < N, lf, imax)
         ub = random_bits((1, BT), salt0 + 2 * m)
         u = ub.astype(jnp.float32) * inv32 + half_f
         rank = jnp.sum((cdf_ref[:] < u).astype(jnp.int32), axis=0,
                        keepdims=True)
         lo = jnp.min(hvalid, axis=0, keepdims=True) - 1
-        hi = jnp.max(jnp.where(valid, lf, -imax), axis=0, keepdims=True)
+        hi = jnp.max(jnp.where(iota_nb_() < N, lf, -imax), axis=0,
+                     keepdims=True)
 
         def bstep(_, lh):
             lo, hi = lh
@@ -563,9 +572,9 @@ def _eo_sat_kernel(*refs, N, NP, K, Cmax, BT, t_bits, bits, spw, nw):
         r = random_bits((NP, BT), salt0 + 2 * m + 1)
         score = jnp.where(members, jnp.minimum(r, imax - 1), imax)
         srow = jnp.min(score, axis=0, keepdims=True)
-        iwin = jnp.min(jnp.where(score == srow, iota_nb, NP),
+        iwin = jnp.min(jnp.where(score == srow, iota_nb_(), NP),
                        axis=0, keepdims=True)
-        onehot = iota_nb == iwin
+        onehot = iota_nb_() == iwin
         dE_i = jnp.sum(jnp.where(onehot, lf, 0), axis=0,
                        keepdims=True, dtype=jnp.int32)
         nsw = jnp.sum(jnp.where(onehot, -sig, 0), axis=0, keepdims=True,
@@ -594,7 +603,7 @@ def _eo_sat_kernel(*refs, N, NP, K, Cmax, BT, t_bits, bits, spw, nw):
 
 @partial(jax.jit, static_argnames=("block_chains", "t_bits", "n_phys",
                                    "cmax", "k_", "bits", "spw", "nw"))
-def _pallas_eo_sat_run(sigma, wTs, E, emin, smin, itmin, cdf, TL, P, SL,
+def _pallas_eo_sat_run(sigma, wTs, E, emin, smin, itmin, cdf, TL, P,
                        seed, n_moves, *, block_chains, t_bits, n_phys,
                        cmax, k_, bits, spw, nw):
     """SAT EO: sigma/smin [B, NP] int8, wTs nw-tuple of [NP, B] i32
@@ -614,7 +623,7 @@ def _pallas_eo_sat_run(sigma, wTs, E, emin, smin, itmin, cdf, TL, P, SL,
         in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
                   + [pl.BlockSpec((NP, 1), lambda j: (0, 0),
                                   memory_space=pltpu.VMEM)]      # cdf
-                  + [tbl, tbl, tbl]
+                  + [tbl, tbl]
                   + [blk] + [blk] * nw + [row, row, blk, row]),
         out_specs=[blk, row, row, blk, row],
         out_shape=[jax.ShapeDtypeStruct((NP, B), jnp.int8),
@@ -625,7 +634,7 @@ def _pallas_eo_sat_run(sigma, wTs, E, emin, smin, itmin, cdf, TL, P, SL,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=_INTERPRET,
-    )(seed, n_moves, cdf, TL, P, SL, sigmaT, *wTs, E[None, :],
+    )(seed, n_moves, cdf, TL, P, sigmaT, *wTs, E[None, :],
       emin[None, :], sminT, itmin[None, :])
     sig_out, E_out, emin_out, smin_out, itmin_out = outs
     return (sig_out.T, E_out[0], emin_out[0], smin_out.T, itmin_out[0])

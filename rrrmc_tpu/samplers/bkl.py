@@ -163,8 +163,16 @@ def _staged_run(rf, sigma, E, coord, Es, seed, target, step, scale, ct):
 
     total = float(target)
     done = 0.0
-    stage = max(total / 256.0, 1.0)
+    # warm-started stage size: the runner remembers its measured coordinate
+    # rate, so repeat calls (state-threaded segments, disorder loops) start
+    # near the dispatch budget instead of re-probing from total/256
+    rate = getattr(rf, "_stage_rate", None)
+    if rate is None:
+        stage = max(total / 256.0, 1.0)
+    else:
+        stage = min(total, max(rate * MAX_DISPATCH_S * 0.5, 1.0))
     acc_t = zacc_t = None
+    t_all = time.perf_counter()
     k = 0
     while done < total:
         done = min(done + stage, total)
@@ -181,6 +189,7 @@ def _staged_run(rf, sigma, E, coord, Es, seed, target, step, scale, ct):
         if done < total:
             grow = min(_STAGE_GROWTH_CAP, MAX_DISPATCH_S / max(dt, 1e-3))
             stage = max(stage * grow, 1.0)
+    rf._stage_rate = total / max(time.perf_counter() - t_all, 1e-3)
     return sigma, E, coord, Es, acc_t, zacc_t, k
 
 
@@ -221,7 +230,7 @@ def _rejfree_mc(model, beta: float, mode: str, target, step, chains: int,
     else:
         # coupling-identity for the runner cache: lattices key on Jd,
         # pairwise/dense on J, PSpin3 on its partner table A
-        Jid = next((getattr(model, a) for a in ("Jd", "J", "A")
+        Jid = next((getattr(model, a) for a in ("Jd", "J", "A", "xi")
                     if getattr(model, a, None) is not None), model)
         cls = PallasRejectionFree
         consts = ()

@@ -33,8 +33,8 @@ CHAINS_PER_DEV = 64
 N_SWEEPS = 2400             # per-rep compute must dominate the one-dispatch
                            # latency + end-of-rep collective (~0.03-0.1s on
                            # loopback Gloo): ~2-3s of sweeps per rep
-PT_ROUNDS = 4
-PT_SWEEPS_PER_ROUND = 800   # amortizes the per-round swap collective; the
+PT_ROUNDS = 3
+PT_SWEEPS_PER_ROUND = 1600   # amortizes the per-round swap collective; the
                            # production regime is swap attempts every
                            # O(100-1000) sweeps, not every move (r4 used
                            # 400 — doubling the cadence halves the

@@ -686,27 +686,43 @@ def perc_comm_section():
         ("perc_step", lambda: rt.GraphPercStep(1023, 511, seed=5)),
         ("perc_linear", lambda: rt.GraphPercLinear(1023, 511, seed=5)),
         ("perc_xentr", lambda: rt.GraphPercXEntr(1023, 511, 1.0, seed=5)),
-        ("comm_step", lambda: rt.GraphCommStep(65, 15, 487, seed=5)),
-        ("comm_relu", lambda: rt.GraphCommReLU(65, 15, 487, seed=5)),
-        ("comm_qu", lambda: rt.GraphCommQu(65, 15, 487, seed=5)),
+        ("comm_step", lambda: rt.GraphCommStep(64, 16, 487, seed=5)),
+        ("comm_relu", lambda: rt.GraphCommReLU(64, 16, 487, seed=5)),
+        ("comm_qu", lambda: rt.GraphCommQu(64, 16, 487, seed=5)),
     ]
     out = []
     for name, builder in fams:
         X = builder()
+        # perceptrons take the stabilities-delta kernel (pallas-rejfree-
+        # perc); committee models keep the XLA einsum path
         row = {"family": name, "N": X.N, "chains": B, "beta": beta}
-        for sname, fn in (("standard", rt.standardMC), ("rrr", rt.rrrMC)):
-            def call(n, st, fn=fn):
+        runs = [("standard", rt.standardMC, "xla"),
+                ("rrr", rt.rrrMC, "auto"),
+                ("bkl", rt.bklMC, "auto")]
+        for sname, fn, be in runs:
+            def call(n, st, fn=fn, be=be):
                 kwa = {"state": st} if st is not None else {"seed": 3}
-                _, st2 = fn(X, beta, int(n), step=int(n), chains=B, **kwa)
+                _, st2 = fn(X, beta, int(n), step=int(n), chains=B,
+                            backend=be, **kwa)
                 return st2
             n, dt, st = _probe_scaled(call, 2_000, target_s=6.0)
+            from rrrmc_tpu.samplers.common import LAST_ROUTE
             E_re = _recompute_E(X, st.sigma)
+            # float families accumulate f32 error over the ~1e5-move
+            # probe-scaled runs (exact at 1e-13 in the x64 test tier); the
+            # xentr KERNEL additionally pays the VPU's fast-transcendental
+            # softplus per move (~1e-3/move dE rounding, random-walk E
+            # drift ~3% here) — the integer families stay exact
+            tol = 0.05 if name == "perc_xentr" else 1e-2
             assert np.allclose(sync(E_re).astype(np.float64),
                                sync(st.E).astype(np.float64),
-                               atol=1e-3 * max(1.0, float(
+                               atol=tol * max(1.0, float(
                                    np.abs(sync(st.E)).max()))), name
             row[f"{sname}_iters_chains_per_s"] = n * B / dt
+            row[f"{sname}_backend"] = LAST_ROUTE.get("backend", "?")
         row["factor_rrr_vs_standard"] = (row["rrr_iters_chains_per_s"]
+                                         / row["standard_iters_chains_per_s"])
+        row["factor_bkl_vs_standard"] = (row["bkl_iters_chains_per_s"]
                                          / row["standard_iters_chains_per_s"])
         print(json.dumps(row), flush=True)
         out.append(row)
@@ -816,29 +832,123 @@ def sparse_chains_section():
     return out
 
 
+def factors_sparse_chains_section():
+    """factors_sparse re-measured at the best chain count (VERDICT r4
+    item 2): the sparse-kernel equal-wallclock factor table at beta=4 on
+    RRG N=1e4 +-J, chains=1024 (8 grid blocks) vs the committed 128-chain
+    rows."""
+    from rrrmc_tpu.experiments import equilibrated_factors
+
+    X = rt.GraphRRG(10_000, 3, (-1, 1), seed=167)
+    out = []
+    for chains in (1024,):
+        row = equilibrated_factors(X, 4.0, chains=chains, densified=X)
+        row["graph"] = "rrg_pmJ"
+        row["kernel"] = "sparse"
+        print(json.dumps(row), flush=True)
+        out.append(row)
+    return out
+
+
+def sat_factors_section():
+    """Equal-wallclock SAT sampler factors FROM EQUILIBRIUM (the SAT analog
+    of the reference's alignment table; ClauseCache engines,
+    /root/reference/src/graphs/SAT.jl:58-320): Metropolis on the XLA
+    single-move path (no pairwise site kernel applies to SAT), bkl/wtm/rrr
+    on the bit-packed clause-count kernel. Factors are virtual-iters-per-
+    second ratios vs Metropolis."""
+    from rrrmc_tpu.samplers.common import LAST_ROUTE
+
+    B, beta = 128, 4.0
+    X = rt.GraphSAT(10_000, 3, 4.2, seed=167)
+    # equilibrate with kernel bkl in adaptive segments
+    st_eq, done, seg, tgt = None, 0, 2_000_000, 200 * X.N
+    t0 = time.time()
+    while done < tgt:
+        seg = min(seg, tgt - done)
+        kwa = {"state": st_eq} if st_eq is not None else {"seed": 167}
+        _, st_eq = rt.bklMC(X, beta, iters=seg, step=seg, chains=B,
+                            backend="pallas", **kwa)
+        sync(st_eq.E)
+        done += seg
+    t_eq = time.time() - t0
+    C0 = np.asarray(sync(st_eq.sigma))
+
+    def measure(call, probe_n):
+        st = call(probe_n, None)
+        sync(st.E)
+        t0 = time.time()
+        st = call(probe_n, st)
+        sync(st.E)
+        dt = max(time.time() - t0, 1e-3)
+        n = probe_n
+        for _ in range(6):
+            n = int(n * max(1.0, min(6.0 / dt, 16.0)))
+            t0 = time.time()
+            st2 = call(n, st)
+            sync(st2.E)
+            dt = max(time.time() - t0, 1e-3)
+            if dt >= 3.0:
+                break
+        return {"backend": LAST_ROUTE.get("backend", "unknown"),
+                "nominal_iters": n, "iters_per_s": n / dt, "wall_s": dt,
+                "E_per_spin": float(sync(st2.E).astype(np.float64).mean())
+                / X.N}
+
+    def kw(st):
+        return {"C0": C0} if st is None else {"state": st}
+
+    rows = {}
+    rows["standard"] = measure(lambda n, st: rt.standardMC(
+        X, beta, int(n), step=int(n), chains=B, seed=167,
+        backend="xla", **kw(st))[1], 2_000)
+    rows["bkl"] = measure(lambda n, st: rt.bklMC(
+        X, beta, int(n), step=int(n), chains=B, seed=167,
+        backend="pallas", **kw(st))[1], 100_000)
+    rows["wtm"] = measure(lambda n, st: rt.wtmMC(
+        X, beta, 10, step=n / 10, chains=B, seed=167,
+        backend="pallas", **kw(st))[1], 50_000)
+    rows["rrr"] = measure(lambda n, st: rt.rrrMC(
+        X, beta, int(n), step=int(n), chains=B, seed=167,
+        backend="pallas", **kw(st))[1], 2_000)
+    base = rows["standard"]["iters_per_s"]
+    res = {"N": X.N, "alpha": 4.2, "beta": beta, "chains": B,
+           "equil_virtual_iters": tgt, "equil_wall_s": t_eq,
+           "equil_protocol": "fresh random start, kernel BKL segments",
+           "factors_vs_standard": {k: r["iters_per_s"] / base
+                                   for k, r in rows.items()},
+           "rows": rows}
+    print(json.dumps(res), flush=True)
+    return [res]
+
+
 def disorder_section():
     """Disorder-stacked kernel dispatch (VERDICT r4 item 4): 8 RRG
-    instances through sample_disorder's per-instance kernel mode vs 8x a
-    single instance — per-instance efficiency."""
+    instances through sample_disorder's per-instance kernel mode vs one
+    FRESH instance measured the same way — both sides pay the identical
+    per-instance cost (state init + runner table build + staged kernel
+    run), so the ratio isolates what the loop adds; the compile is shared
+    by construction (per-instance tables are traced arguments)."""
     from rrrmc_tpu.parallel.mesh import sample_disorder
     from rrrmc_tpu.samplers.common import LAST_ROUTE
 
     B, beta, D = 128, 4.0, 8
     models = [rt.GraphRRG(10_000, 3, (-1, 1), seed=100 + d)
-              for d in range(D)]
-    it = 500_000
-    # warm (compile shared by every instance: tables are traced args)
-    _, st = rt.bklMC(models[0], beta, iters=it, step=it, chains=B, seed=3,
-                     backend="pallas")
+              for d in range(D + 2)]
+    it = 20_000_000
+    # compile warm-up on a SPARE instance (shared jit cache only — its
+    # runner/cache entries are not reused by the timed instances)
+    _, st = rt.bklMC(models[D + 1], beta, iters=it, step=it, chains=B,
+                     seed=3, backend="pallas")
     sync(st.E)
     t0 = time.time()
-    _, st = rt.bklMC(models[0], beta, iters=it, step=it, chains=B, seed=4,
-                     backend="pallas")
-    sync(st.E)
+    Es1, st1 = sample_disorder(rt.bklMC, models[D:D + 1], beta, it,
+                               chains=B, seed=7, step=it, backend="pallas")
+    sync(st1.E)
     dt1 = time.time() - t0
     t0 = time.time()
-    Es, sts = sample_disorder(rt.bklMC, models, beta, it, chains=B, seed=7,
-                              step=it, backend="pallas")
+    Es, sts = sample_disorder(rt.bklMC, models[:D], beta, it,
+                              chains=B, seed=7, step=it, backend="pallas")
     sync(sts.E)
     dtD = time.time() - t0
     assert LAST_ROUTE["backend"] == "pallas-rejfree-sparse"
@@ -899,6 +1009,14 @@ def main():
             json.dump(res, f, indent=1)
     if which in ("disorder", "all"):
         res["disorder"] = disorder_section()
+        with open(path, "w") as f:
+            json.dump(res, f, indent=1)
+    if which in ("factors_sparse_chains", "all"):
+        res["factors_sparse_chains"] = factors_sparse_chains_section()
+        with open(path, "w") as f:
+            json.dump(res, f, indent=1)
+    if which in ("sat_factors", "all"):
+        res["sat_factors"] = sat_factors_section()
     with open(path, "w") as f:
         json.dump(res, f, indent=1)
     print(f"wrote {path}")
