@@ -364,6 +364,14 @@ def rejfree_perc_run(xiT, xi, xi_i8, betah, cparam, sigma, E, coord, Es,
     def body(carry):
         sigma, E, coord, acc, zacc, Es, k = carry
         deltaT = _perc_delta_of(sigma, xi_i8, n_phys, pp)
+        if fam == "xentr":
+            # E is reporting-only (acceptance never reads it), so the f32
+            # VPU-transcendental drift of the in-kernel accumulation is
+            # resynced EXACTLY from the integer stabilities at every chunk
+            # boundary — drift stays bounded by one chunk's moves
+            x = -cparam[0] * deltaT[:p_phys].astype(jnp.float32)
+            E = jnp.sum(jnp.maximum(x, 0.0)
+                        + jnp.log1p(jnp.exp(-jnp.abs(x))), axis=0)
         seed = (seed0 + k * jnp.int32(7919)).reshape(1)
         x_start = coord
         e_start = E.astype(Es.dtype) * scale

@@ -686,7 +686,9 @@ def perc_comm_section():
         ("perc_step", lambda: rt.GraphPercStep(1023, 511, seed=5)),
         ("perc_linear", lambda: rt.GraphPercLinear(1023, 511, seed=5)),
         ("perc_xentr", lambda: rt.GraphPercXEntr(1023, 511, 1.0, seed=5)),
-        ("comm_step", lambda: rt.GraphCommStep(64, 16, 487, seed=5)),
+        # CommStep wants odd layer sizes, CommReLU/Qu want even (the
+        # reference's own constraints) — nearest shapes of ~1e3 weights
+        ("comm_step", lambda: rt.GraphCommStep(65, 15, 487, seed=5)),
         ("comm_relu", lambda: rt.GraphCommReLU(64, 16, 487, seed=5)),
         ("comm_qu", lambda: rt.GraphCommQu(64, 16, 487, seed=5)),
     ]
