@@ -792,7 +792,10 @@ def pallas_eo_eligible(model, chains: int) -> bool:
     if _pspin_rejfree_ok(model):
         return True
     from .sat_pallas import sat_rejfree_ok
-    return sat_rejfree_ok(model)
+    if sat_rejfree_ok(model):
+        return True
+    from .perc_pallas import perc_rejfree_ok
+    return perc_rejfree_ok(model)
 
 
 class PallasEO:
@@ -814,6 +817,21 @@ class PallasEO:
         self.model = model
         self.block_chains = block_chains
         self.kind = "lattice"
+        from .perc_pallas import perc_rejfree_ok, _PercTables
+        if perc_rejfree_ok(model):
+            self.tab = _PercTables(model)
+            self.NP = self.tab.NP
+            self.flt = self.tab.flt
+            self.kind = "perc"
+            # integer keys are 2*dE with |dE| <= P (each pattern moves the
+            # loss by at most 1 per flip for step/linear); xentr runs on
+            # IEEE-754 sort keys of the f32 costs
+            self.t_bits = (32 if self.flt else
+                           max(1, int(np.ceil(np.log2(4 * model.P + 2)))))
+            cdf = np.full((self.NP, 1), 2.0, np.float32)
+            cdf[:model.N, 0] = _rank_cdf(model.N, float(tau))
+            self.cdf = jnp.asarray(cdf)
+            return
         from .sat_pallas import sat_rejfree_ok, _SatTables
         if sat_rejfree_ok(model):
             self.tab = _SatTables(model)
@@ -949,6 +967,23 @@ class PallasEO:
             sigma = jnp.concatenate([sigma, padc], axis=1)
         smin = sigma
         zeros = jnp.zeros((B,), jnp.int32)
+        if self.kind == "perc":
+            from .perc_pallas import (_pallas_eo_perc_run, _pad_sigma_perc,
+                                      _perc_delta_of)
+
+            t = self.tab
+            et = jnp.float32 if self.flt else jnp.int32
+            sigp = _pad_sigma_perc(sigma[:, :n], t.NP)
+            deltaT = _perc_delta_of(sigp, t.xi_i8, self.model.N, t.PP)
+            cpar = jnp.asarray([t.c], jnp.float32)
+            sig, E, emin, smin, itmin = _pallas_eo_perc_run(
+                sigp, deltaT, E.astype(et), E.astype(et), smin, zeros,
+                self.cdf, cpar, t.xiT, t.xi,
+                jnp.asarray([seed % (2 ** 31)], jnp.int32),
+                jnp.asarray([iters], jnp.int32),
+                block_chains=self.block_chains, t_bits=self.t_bits,
+                n_phys=self.model.N, p_phys=self.model.P, fam=t.fam)
+            return (sig[:, :n], E, emin, smin[:, :n], itmin)
         if self.kind == "sat":
             from .sat_pallas import _sat_prep, _pallas_eo_sat_run
 

@@ -42,6 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .prng import interpret_params, program_seed, random_bits
 from .rejfree_pallas import _geom_skip
+from .sat_pallas import _pad_sigma as _pad_sigma_perc
 
 _INTERPRET = interpret_params()
 
@@ -387,3 +388,170 @@ def rejfree_perc_run(xiT, xi, xi_i8, betah, cparam, sigma, E, coord, Es,
     sigma, E, coord, acc, zacc, Es, _ = jax.lax.while_loop(
         cond, body, (sigma, E, coord, acc, zacc, Es, k0))
     return sigma[:, :n_phys], E, coord, Es, acc, zacc
+
+
+# ---------------------------------------------------------------------------
+# EO variant: tau-extremal optimization on the perceptrons — the binary-
+# search order statistic + uniform tie race of ops/eo_pallas.py on the
+# matmul-identity dE vector (integer keys for step/linear — exact — and
+# IEEE-754 sort keys for xentr's f32 costs), with the same rank-1 stability
+# update after each unconditional flip.
+# ---------------------------------------------------------------------------
+
+_I32_MAX = np.int32(2 ** 31 - 1)
+
+
+def _eo_perc_kernel(seed_ref, n_ref, cdf_ref, c_ref, xiT_ref, xi_ref,
+                    sigma_ref, delta_ref, E_ref, emin_ref, smin_ref,
+                    itmin_ref,
+                    sigma_out, E_out, emin_out, smin_out, itmin_out,
+                    *, N, NP, P, PP, BT, t_bits, fam):
+    flt = fam == "xentr"
+    seed_p = program_seed(seed_ref[0], pl.program_id(0))
+    pltpu.prng_seed(seed_p)
+    salt0 = seed_p * jnp.int32(1000003)
+    n_moves = n_ref[0]
+    c = c_ref[0]
+    lt = jnp.float32 if flt else jnp.int32
+    imax = jnp.int32(_I32_MAX)
+    inv32 = jnp.float32(2.0 ** -32)
+    half_f = jnp.float32(0.5)
+    mm_dt = jnp.float32 if flt else jnp.bfloat16
+
+    def iota_n():
+        return jax.lax.broadcasted_iota(jnp.int32, (NP, BT), 0)
+
+    def pvalid():
+        return jax.lax.broadcasted_iota(jnp.int32, (PP, BT), 0) < P
+
+    def g_tot(delta):
+        if fam == "step":
+            gm = jnp.where(delta == 1, 1, 0)
+            gp = jnp.where(delta == -1, -1, 0)
+        elif fam == "linear":
+            gm = jnp.where(delta < 2, 1, 0)
+            gp = jnp.where(delta < 0, -1, 0)
+        else:
+            d = delta.astype(jnp.float32)
+            sp0 = _softplus(-c * d)
+            gm = _softplus(-c * (d - 2.0)) - sp0
+            gp = _softplus(-c * (d + 2.0)) - sp0
+        pv = pvalid()
+        gm = jnp.where(pv, gm, jnp.zeros((), lt))
+        gp = jnp.where(pv, gp, jnp.zeros((), lt))
+        tot = jnp.sum(gm + gp, axis=0, keepdims=True, dtype=lt)
+        return (gm - gp).astype(lt), tot
+
+    def move(m, carry):
+        sig, delta, E, emin, smin, itmin = carry
+        g, tot = g_tot(delta)
+        proj = jax.lax.dot_general(
+            xiT_ref[:], g.astype(mm_dt),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if not flt:
+            proj = proj.astype(jnp.int32)
+        dE2 = tot + (sig.astype(lt) if flt else sig) * proj
+        if flt:
+            b = jax.lax.bitcast_convert_type(dE2, jnp.int32)
+            hkey = b ^ ((b >> 31) & jnp.int32(0x7FFFFFFF))
+        else:
+            hkey = dE2
+        hvalid = jnp.where(iota_n() < N, hkey, imax)
+        ub = random_bits((1, BT), salt0 + 2 * m)
+        u = ub.astype(jnp.float32) * inv32 + half_f
+        rank = jnp.sum((cdf_ref[:] < u).astype(jnp.int32), axis=0,
+                       keepdims=True)
+        lo = jnp.min(hvalid, axis=0, keepdims=True) - 1
+        hi = jnp.max(jnp.where(iota_n() < N, hkey, -imax), axis=0,
+                     keepdims=True)
+
+        def bstep(_, lh):
+            lo, hi = lh
+            mid = (lo >> 1) + (hi >> 1) + (lo & hi & 1)
+            cnt = jnp.sum((hvalid <= mid).astype(jnp.int32),
+                          axis=0, keepdims=True)
+            ok = cnt >= rank + 1
+            return jnp.where(ok, lo, mid + 1), jnp.where(ok, mid, hi)
+
+        lo, hi = jax.lax.fori_loop(0, t_bits, bstep, (lo, hi))
+        members = hvalid == hi
+        r = random_bits((NP, BT), salt0 + 2 * m + 1)
+        score = jnp.where(members, jnp.minimum(r, imax - 1), imax)
+        srow = jnp.min(score, axis=0, keepdims=True)
+        iwin = jnp.min(jnp.where(score == srow, iota_n(), NP),
+                       axis=0, keepdims=True)
+        onehot = iota_n() == iwin
+        dE_i = jnp.sum(jnp.where(onehot, dE2, jnp.zeros((), lt)), axis=0,
+                       keepdims=True, dtype=lt)
+        dE_i = (dE_i >> 1) if not flt else dE_i * 0.5
+        rhs = jnp.where(onehot, -2 * sig, 0).astype(mm_dt)
+        upd = jax.lax.dot_general(
+            xi_ref[:], rhs,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+        delta = delta + upd
+        sig = jnp.where(onehot, -sig, sig)            # unconditional flip
+        E = E + dE_i
+        better = E < emin
+        emin = jnp.where(better, E, emin)
+        smin = jnp.where(better, sig, smin)
+        itmin = jnp.where(better, m + 1, itmin)
+        return sig, delta, E, emin, smin, itmin
+
+    sig0 = sigma_ref[:].astype(jnp.int32)
+    sig, delta, E, emin, smin, itmin = jax.lax.fori_loop(
+        0, n_moves, move,
+        (sig0, delta_ref[:], E_ref[:], emin_ref[:],
+         smin_ref[:].astype(jnp.int32), itmin_ref[:]))
+    sigma_out[:] = sig.astype(jnp.int8)
+    E_out[:] = E
+    emin_out[:] = emin
+    smin_out[:] = smin.astype(jnp.int8)
+    itmin_out[:] = itmin
+
+
+@partial(jax.jit, static_argnames=("block_chains", "t_bits", "n_phys",
+                                   "p_phys", "fam"))
+def _pallas_eo_perc_run(sigma, deltaT, E, emin, smin, itmin, cdf, cparam,
+                        xiT, xi, seed, n_moves, *, block_chains, t_bits,
+                        n_phys, p_phys, fam):
+    """Perceptron EO: sigma/smin [B, NP] int8, deltaT [PP, B] int32
+    stabilities (input-only; an EO run never resumes from them)."""
+    sigmaT, sminT = sigma.T, smin.T
+    NP, B = sigmaT.shape
+    PP = deltaT.shape[0]
+    BT = block_chains
+    grid = (B // BT,)
+    flt = fam == "xentr"
+    et = jnp.float32 if flt else jnp.int32
+    kernel = partial(_eo_perc_kernel, N=n_phys, NP=NP, P=p_phys, PP=PP,
+                     BT=BT, t_bits=t_bits, fam=fam)
+    row = pl.BlockSpec((1, BT), lambda j: (0, j), memory_space=pltpu.VMEM)
+    nblk = pl.BlockSpec((NP, BT), lambda j: (0, j), memory_space=pltpu.VMEM)
+    pblk = pl.BlockSpec((PP, BT), lambda j: (0, j), memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+                  + [pl.BlockSpec((NP, 1), lambda j: (0, 0),
+                                  memory_space=pltpu.VMEM),    # cdf
+                     pl.BlockSpec(memory_space=pltpu.SMEM),    # c
+                     pl.BlockSpec((NP, PP), lambda j: (0, 0),
+                                  memory_space=pltpu.VMEM),
+                     pl.BlockSpec((PP, NP), lambda j: (0, 0),
+                                  memory_space=pltpu.VMEM),
+                     nblk, pblk, row, row, nblk, row]),
+        out_specs=[nblk, row, row, nblk, row],
+        out_shape=[jax.ShapeDtypeStruct((NP, B), jnp.int8),
+                   jax.ShapeDtypeStruct((1, B), et),
+                   jax.ShapeDtypeStruct((1, B), et),
+                   jax.ShapeDtypeStruct((NP, B), jnp.int8),
+                   jax.ShapeDtypeStruct((1, B), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=_INTERPRET,
+    )(seed, n_moves, cdf, cparam, xiT, xi, sigmaT, deltaT, E[None, :],
+      emin[None, :], sminT, itmin[None, :])
+    sig_out, E_out, emin_out, smin_out, itmin_out = outs
+    return (sig_out.T, E_out[0], emin_out[0], smin_out.T, itmin_out[0])

@@ -118,8 +118,8 @@ def _eo_pallas(model, tau: float, iters: int, chains: int, seed: int,
     assert chains % block_chains == 0, (chains, block_chains)
     # coupling identity: lattices key on Jd, pairwise/dense on J, PSpin3
     # on its partner table A
-    Jid = next(getattr(model, a) for a in ("Jd", "J", "A")
-               if getattr(model, a, None) is not None)
+    Jid = next((getattr(model, a) for a in ("Jd", "J", "A", "xi")
+                if getattr(model, a, None) is not None), model)
     # h identity matters: field variants share the coupling object
     hid = getattr(model, "h", None)
     key = (id(Jid), id(hid), float(tau), block_chains)

@@ -106,3 +106,21 @@ def test_perc_wtm_invariant(perc_interp):
                      backend="pallas")
     E_re = np.asarray(jax.jit(jax.vmap(X.energy))(st.sigma), np.float64)
     np.testing.assert_array_equal(E_re, np.asarray(st.E, np.float64))
+
+
+def test_perc_eo_kernel(perc_interp):
+    """EO rank-select on the matmul-identity dE vector: route, invariants,
+    and ground-state discovery on an under-constrained instance."""
+    import rrrmc_tpu as rt
+    from rrrmc_tpu.samplers.common import LAST_ROUTE
+
+    X = rt.GraphPercStep(31, 7, seed=9)    # alpha < alpha_c: SAT whp
+    res = rt.extremal_opt(X, 1.4, 500, chains=128, seed=7,
+                          backend="pallas")
+    assert LAST_ROUTE["backend"] == "pallas-eo-perc"
+    E_fin = np.asarray(jax.jit(jax.vmap(X.energy))(res.sigma), np.float64)
+    np.testing.assert_array_equal(E_fin, np.asarray(res.E, np.float64))
+    smin_E = np.asarray(jax.jit(jax.vmap(X.energy))(res.sigma_min),
+                        np.float64)
+    np.testing.assert_array_equal(smin_E, np.asarray(res.Emin, np.float64))
+    assert np.asarray(res.Emin).min() == 0.0
